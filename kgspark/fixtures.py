@@ -1,0 +1,243 @@
+"""Deterministic synthetic Canadian-history web-page corpus + alias index.
+
+Replaces the reference's external inputs (FileGDB census polygons, Excel
+tables, live Wikidata SPARQL — /root/reference/scripts/
+fetch_canadian_communities_wikidata.py:17-35) with seeded synthetic data,
+per FIXTURES.md F1/F2/F3: a `pages(url, warc_ts, html, text, lang)` table
+whose golden (subj, pred, obj) triples are known **by construction**, and a
+small broadcastable `alias_index` vocabulary.
+
+Scale design: page i is a pure function of (seed, i). Generation runs as
+`spark.range(n)` + `mapInPandas`, so a 500k-page bench corpus is generated
+distributedly with zero driver memory — and the golden triple set for ANY
+subset is computable the same way. Head-entity skew is built in: ~35% of
+pages mention "Canada" (north rule: salted canonicalization must survive
+head entities).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_text_bytes
+
+SEED = 42
+
+# --- vocabulary (FIXTURES.md F2; sizes mirror reference's 2,897-community
+# Wikidata fetch, scaled down) ---------------------------------------------
+
+# (entity_id, canonical_name, [aliases], type, lat, lon, admin, geonames, inception)
+ALIAS_INDEX_ROWS = [
+    ("Q1", "Canada", ["Canada", "Dominion of Canada"], "place", 56.0, -106.0, "Canada", "6251999", "1867-07-01"),
+    ("Q2", "Ottawa", ["Ottawa", "Bytown"], "place", 45.42, -75.69, "Ontario", "6094817", "1826-01-01"),
+    ("Q3", "Toronto", ["Toronto", "York"], "place", 43.65, -79.38, "Ontario", "6167865", "1793-01-01"),
+    ("Q4", "Montreal", ["Montreal", "Ville-Marie"], "place", 45.50, -73.57, "Quebec", "6077243", "1642-01-01"),
+    ("Q5", "Kingston", ["Kingston"], "place", 44.23, -76.48, "Ontario", "5992500", "1673-01-01"),
+    ("Q6", "Charlottetown", ["Charlottetown"], "place", 46.24, -63.13, "Prince Edward Island", "5920288", "1764-01-01"),
+    ("Q7", "Winnipeg", ["Winnipeg", "Fort Garry"], "place", 49.90, -97.14, "Manitoba", "6183235", "1738-01-01"),
+    ("Q8", "Halifax", ["Halifax"], "place", 44.65, -63.57, "Nova Scotia", "6324729", "1749-01-01"),
+    ("Q9", "Kitchener", ["Kitchener", "Berlin"], "place", 43.45, -80.49, "Ontario", "5992996", "1854-01-01"),
+    ("Q10", "Regina", ["Regina", "Pile of Bones"], "place", 50.45, -104.61, "Saskatchewan", "6119109", "1882-01-01"),
+    ("Q11", "Vancouver", ["Vancouver", "Gastown"], "place", 49.28, -123.12, "British Columbia", "6173331", "1886-01-01"),
+    ("Q12", "Quebec City", ["Quebec City", "Quebec"], "place", 46.81, -71.21, "Quebec", "6325494", "1608-01-01"),
+    ("Q20", "John A. Macdonald", ["John A. Macdonald", "Sir John A. Macdonald", "Macdonald"], "person", None, None, "Ontario", None, "1815-01-11"),
+    ("Q21", "Wilfrid Laurier", ["Wilfrid Laurier", "Sir Wilfrid Laurier", "Laurier"], "person", None, None, "Quebec", None, "1841-11-20"),
+    ("Q22", "Louis Riel", ["Louis Riel", "Riel"], "person", None, None, "Manitoba", None, "1844-10-22"),
+    ("Q23", "Alexander Mackenzie", ["Alexander Mackenzie", "Mackenzie"], "person", None, None, "Ontario", None, "1822-01-28"),
+    ("Q24", "Robert Borden", ["Robert Borden", "Sir Robert Borden", "Borden"], "person", None, None, "Nova Scotia", None, "1854-06-26"),
+    ("Q25", "Agnes Macphail", ["Agnes Macphail", "Macphail"], "person", None, None, "Ontario", None, "1890-03-24"),
+    ("Q26", "Gabriel Dumont", ["Gabriel Dumont", "Dumont"], "person", None, None, "Saskatchewan", None, "1837-12-01"),
+    ("Q30", "Confederation", ["Confederation", "Canadian Confederation"], "event", None, None, "Canada", None, "1867-07-01"),
+    ("Q31", "Charlottetown Conference", ["Charlottetown Conference"], "event", None, None, "Prince Edward Island", None, "1864-09-01"),
+    ("Q32", "Red River Rebellion", ["Red River Rebellion", "Red River Resistance"], "event", None, None, "Manitoba", None, "1869-10-11"),
+    ("Q33", "North-West Rebellion", ["North-West Rebellion", "Northwest Resistance"], "event", None, None, "Saskatchewan", None, "1885-03-26"),
+    ("Q40", "Treaty 6", ["Treaty 6", "Treaty Six"], "treaty", None, None, "Saskatchewan", None, "1876-08-23"),
+    ("Q41", "Treaty 7", ["Treaty 7", "Treaty Seven"], "treaty", None, None, "Alberta", None, "1877-09-22"),
+    ("Q42", "Treaty of Paris", ["Treaty of Paris"], "treaty", None, None, "Canada", None, "1763-02-10"),
+]
+
+# OCR-style corruptions (reference analog: the OCR-variant chains the
+# reference repairs, /root/reference/scripts/fix_ocr_errors.py:153-201).
+# Applied with low probability; fuzzy linking (levenshtein<=2) must recover.
+OCR_VARIANTS = {
+    "Macdonald": "Macdonaid",
+    "Ottawa": "Ottavva",
+    "Laurier": "Lavrier",
+    "Winnipeg": "Winipeg",
+    "Toronto": "Torooto",
+    "Kingston": "Kingstown",
+}
+
+_BY_ID = {r[0]: r for r in ALIAS_INDEX_ROWS}
+_PERSONS = [r for r in ALIAS_INDEX_ROWS if r[3] == "person"]
+_PLACES = [r for r in ALIAS_INDEX_ROWS if r[3] == "place" and r[0] != "Q1"]
+_EVENTS = [r for r in ALIAS_INDEX_ROWS if r[3] == "event"]
+_TREATIES = [r for r in ALIAS_INDEX_ROWS if r[3] == "treaty"]
+
+_FILLER = [
+    "The archives hold many records from this period.",
+    "Historians continue to debate the details.",
+    "The railway changed everything for the region.",
+    "Local newspapers reported the story at length.",
+    "The census of that year recorded steady growth.",
+    "Settlers arrived in growing numbers each spring.",
+]
+
+# Relation sentence templates. The relation extractor (relations.py) owns the
+# matching patterns; these templates are the generative side of that contract.
+_REL_TEMPLATES = {
+    "born_in": "{s} was born in {o}.",
+    "governed": "{s} governed {o}.",
+    "signed": "{s} signed {o}.",
+    "located_in": "{s} is located in {o}.",
+    "participated_in": "{s} participated in {o}.",
+}
+
+
+def _pick_surface(rng: random.Random, row, corrupt_p: float = 0.05) -> str:
+    """Pick a surface form for an entity: usually an alias, occasionally an
+    OCR corruption of one of its aliases."""
+    surface = rng.choice(row[2])
+    if rng.random() < corrupt_p:
+        for good, bad in OCR_VARIANTS.items():
+            if good in surface:
+                return surface.replace(good, bad)
+    return surface
+
+
+def page_record(i: int, seed: int = SEED) -> dict:
+    """Pure function (seed, i) -> one synthetic page + its golden facts."""
+    rng = random.Random(f"{seed}:{i}")
+    sentences: list[str] = []
+    triples: list[tuple[str, str, str]] = []
+    mentions: list[tuple[str, str]] = []  # (surface, entity_id)
+
+    n_rel = rng.randint(2, 5)
+    for _ in range(n_rel):
+        pred = rng.choice(list(_REL_TEMPLATES))
+        if pred == "born_in":
+            s, o = rng.choice(_PERSONS), rng.choice(_PLACES)
+        elif pred == "governed":
+            s, o = rng.choice(_PERSONS), (_BY_ID["Q1"] if rng.random() < 0.5 else rng.choice(_PLACES))
+        elif pred == "signed":
+            s, o = rng.choice(_PERSONS), rng.choice(_TREATIES)
+        elif pred == "located_in":
+            s, o = rng.choice(_PLACES), _BY_ID["Q1"]
+        else:  # participated_in
+            s, o = rng.choice(_PERSONS), rng.choice(_EVENTS)
+        s_surface = _pick_surface(rng, s)
+        o_surface = _pick_surface(rng, o)
+        sentences.append(_REL_TEMPLATES[pred].format(s=s_surface, o=o_surface))
+        triples.append((s[0], pred, o[0]))
+        mentions.append((s_surface, s[0]))
+        mentions.append((o_surface, o[0]))
+
+    # head-entity skew: ~35% of pages mention Canada in a filler sentence
+    if rng.random() < 0.35:
+        sentences.append("Canada grew rapidly in these years.")
+        mentions.append(("Canada", "Q1"))
+    for _ in range(rng.randint(1, 3)):
+        sentences.insert(rng.randrange(len(sentences) + 1), rng.choice(_FILLER))
+
+    # context hint for disambiguation-style scoring: mention the admin region
+    region = _BY_ID[triples[0][0]][6]
+    title = f"Notes on {region} history"
+    body = " ".join(sentences)
+    html = (
+        "<html><head><title>{t}</title>"
+        "<style>body {{ color: #222; }}</style>"
+        '<script>var x = "tracker";</script></head>'
+        "<body><nav>Home | About | Archive</nav>"
+        "<h1>{t}</h1><p>{b}</p>"
+        "<footer>&copy; 1900 Archive Society</footer></body></html>"
+    ).format(t=title, b=body)
+    html_bytes = html.encode("utf-8")
+
+    ts = dt.datetime(1998, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+        seconds=(i * 937) % (86400 * 365 * 20)
+    )
+    return {
+        "url": f"https://example.org/ca-history/{seed}/{i:08d}",
+        "warc_ts": ts,
+        "html": html_bytes,
+        "text": extract_text_bytes(html_bytes),
+        "lang": "en" if rng.random() < 0.9 else "fr",
+        "_mentions": mentions,
+        "_triples": triples,
+    }
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+GOLDEN_SCHEMA = "subj string, pred string, obj string, src_url string"
+GOLDEN_MENTION_SCHEMA = "url string, surface string, entity_id string"
+
+
+def gen_pages(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
+    """Distributed deterministic corpus: spark.range -> mapInPandas.
+
+    No driver-side accumulation (the reference's CensusDataV2 anti-pattern,
+    /root/reference/scripts/build_census_observations_v2.py:76-98, is what
+    this replaces)."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = [page_record(int(i), seed) for i in b["id"]]
+            yield pd.DataFrame(
+                [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in recs]
+            )
+
+    return spark.range(n).repartition(max(8, min(n // 1000, 256))).mapInPandas(make, PAGES_SCHEMA)
+
+
+def gen_golden_triples(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
+    """Golden (subj, pred, obj, src_url) for pages [0, n) — by construction."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                r = page_record(int(i), seed)
+                rows.extend(
+                    {"subj": s, "pred": p, "obj": o, "src_url": r["url"]}
+                    for s, p, o in r["_triples"]
+                )
+            yield pd.DataFrame(rows, columns=["subj", "pred", "obj", "src_url"])
+
+    return spark.range(n).repartition(max(8, min(n // 1000, 256))).mapInPandas(make, GOLDEN_SCHEMA)
+
+
+def gen_golden_mentions(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                r = page_record(int(i), seed)
+                rows.extend(
+                    {"url": r["url"], "surface": s, "entity_id": e} for s, e in r["_mentions"]
+                )
+            yield pd.DataFrame(rows, columns=["url", "surface", "entity_id"])
+
+    return spark.range(n).repartition(max(8, min(n // 1000, 256))).mapInPandas(
+        make, GOLDEN_MENTION_SCHEMA
+    )
+
+
+def gen_alias_index(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md F2 broadcast vocabulary (reference: Wikidata snapshot)."""
+    return spark.createDataFrame(
+        [
+            (eid, name, aliases, etype, lat, lon, admin, geo, dt.date.fromisoformat(inc))
+            for eid, name, aliases, etype, lat, lon, admin, geo, inc in ALIAS_INDEX_ROWS
+        ],
+        schema=(
+            "entity_id string, canonical_name string, aliases array<string>, "
+            "entity_type string, latitude double, longitude double, "
+            "admin_region string, geonames_id string, inception_date date"
+        ),
+    )

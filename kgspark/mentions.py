@@ -1,0 +1,126 @@
+"""Mention detection: gazetteer + capitalized-span patterns, one UDF pass.
+
+Reference analog: the reference detects "mentions" by reading structured ids
+out of census tables and matching place names against a fetched Wikidata
+vocabulary (/root/reference/scripts/convert_1921_to_lod.py:97-153). Here the
+input is free text, so detection is (a) a gazetteer scan (alternation regex
+over the broadcast alias vocabulary, longest-first) and (b) a
+capitalized-span pattern that surfaces *unknown* candidate mentions —
+including OCR-corrupted forms the gazetteer can't see — for downstream fuzzy
+linking (link.py) and canonicalization (canonicalize.py).
+
+One `mapInPandas`-style pass emits, per page: mention spans, pattern-matched
+relation candidates (relations.py owns the pattern table), and the context
+features (admin regions present) used by link scoring. One pass = the text is
+decoded and scanned once (SURVEY.md §7.2 M4: "same vectorized UDF pass").
+
+Scale: no shuffle here — annotation is map-only, Arrow-batched. The
+gazetteer alternation is fine for O(10^4) aliases; at O(10^6+) aliases the
+drop-in upgrade is an Aho-Corasick automaton built once per executor from a
+broadcast variable (same UDF signature, no plan change).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# capitalized span: tokens are initials ("A."), Capitalized words (hyphens,
+# apostrophes allowed), or bare numbers ("Treaty 7"); "of" may glue tokens
+# ("Treaty of Paris"). A period NOT part of an initial ends the span, so
+# spans never leak across sentence boundaries.
+_TOKEN = r"(?:[A-Z]\.|[A-Z][A-Za-z'’-]*|\d+)"
+SPAN_RE = rf"{_TOKEN}(?:\s(?:of\s)?{_TOKEN})*"
+_SPAN_COMPILED = re.compile(SPAN_RE)
+
+# sentence-initial words that are not mentions (fixture filler + common)
+_STOP_SPANS = frozenset(
+    {"The", "A", "An", "It", "In", "On", "Historians", "Local", "Settlers",
+     "Home", "About", "Archive", "Notes", "Archive Society"}
+)
+
+_REL_PATTERNS = [
+    ("born_in", rf"({SPAN_RE}) was born in ({SPAN_RE})\."),
+    ("governed", rf"({SPAN_RE}) governed ({SPAN_RE})\."),
+    ("signed", rf"({SPAN_RE}) signed ({SPAN_RE})\."),
+    ("located_in", rf"({SPAN_RE}) is located in ({SPAN_RE})\."),
+    ("participated_in", rf"({SPAN_RE}) participated in ({SPAN_RE})\."),
+]
+
+ANNOTATION_SCHEMA = (
+    "url string, mentions array<struct<surface:string,kind:string>>, "
+    "relations array<struct<subj_surface:string,pred:string,obj_surface:string>>, "
+    "ctx_regions array<string>"
+)
+
+
+def _build_scanner(gazetteer: list[str], regions: list[str]):
+    """Compile the scan regexes once per executor process."""
+    gaz_sorted = sorted(set(gazetteer), key=len, reverse=True)
+    gaz_re = re.compile(r"\b(" + "|".join(re.escape(g) for g in gaz_sorted) + r")\b")
+    region_res = [(r, re.compile(r"\b" + re.escape(r) + r"\b")) for r in set(regions)]
+    rel_res = [(p, re.compile(rx)) for p, rx in _REL_PATTERNS]
+
+    def scan_text(text: str):
+        if not text:
+            return [], [], []
+        gaz_hits = {m.group(1) for m in gaz_re.finditer(text)}
+        mentions = [{"surface": s, "kind": "gazetteer"} for s in sorted(gaz_hits)]
+        relations = []
+        rel_args = set()
+        for pred, rx in rel_res:
+            for m in rx.finditer(text):
+                s, o = m.group(1), m.group(2)
+                relations.append({"subj_surface": s, "pred": pred, "obj_surface": o})
+                rel_args.update((s, o))
+        # capitalized spans not already known: candidate mentions for fuzzy
+        # linking (OCR-corrupted forms land here)
+        for m in _SPAN_COMPILED.finditer(text):
+            s = m.group(0)
+            if s not in gaz_hits and s not in _STOP_SPANS and s not in rel_args:
+                mentions.append({"surface": s, "kind": "span"})
+        mentions.extend(
+            {"surface": s, "kind": "relation_arg"} for s in sorted(rel_args - gaz_hits)
+        )
+        ctx = [r for r, rx in region_res if rx.search(text)]
+        return mentions, relations, ctx
+
+    return scan_text
+
+
+def annotate_pages(pages: DataFrame, gazetteer: list[str], regions: list[str]) -> DataFrame:
+    """pages(url, text, ...) -> (url, mentions, relations, ctx_regions)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scan = _build_scanner(gazetteer, regions)
+        for b in batches:
+            out = {"url": b["url"], "mentions": [], "relations": [], "ctx_regions": []}
+            for t in b["text"]:
+                m, r, c = scan(t)
+                out["mentions"].append(m)
+                out["relations"].append(r)
+                out["ctx_regions"].append(c)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "text").mapInPandas(run, ANNOTATION_SCHEMA)
+
+
+def explode_mentions(annotated: DataFrame) -> DataFrame:
+    """-> (url, surface, kind) one row per mention occurrence."""
+    return annotated.select(
+        "url", "ctx_regions", F.explode("mentions").alias("m")
+    ).select("url", "ctx_regions", F.col("m.surface").alias("surface"), F.col("m.kind").alias("kind"))
+
+
+def explode_relations(annotated: DataFrame) -> DataFrame:
+    """-> (url, subj_surface, pred, obj_surface) raw surface-level triples."""
+    return annotated.select("url", F.explode("relations").alias("r")).select(
+        "url",
+        F.col("r.subj_surface").alias("subj_surface"),
+        F.col("r.pred").alias("pred"),
+        F.col("r.obj_surface").alias("obj_surface"),
+    )

@@ -1,0 +1,121 @@
+"""End-to-end KG construction pipeline: pages -> triples, resumable.
+
+Composition of the stage modules (SURVEY.md §7.2 build order), each stage an
+optional checkpoint via io.CheckpointRegistry so a killed run resumes from
+the last completed stage (reference pattern: scripts re-load prior CSVs;
+SURVEY.md §4 "Checkpoint/resume").
+
+    extract -> annotate -> link -> canonicalize -> resolve -> materialize
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import canonicalize as canon
+from . import link as linkmod
+from . import materialize as mat
+from . import metrics
+from .extract import with_extracted_text
+from .io import CheckpointRegistry
+from .mentions import annotate_pages, explode_mentions, explode_relations
+from .relations import resolve_triples
+
+
+def gazetteer_from_alias_index(alias_index: DataFrame) -> tuple[list[str], list[str]]:
+    """Collect the (small, broadcastable) vocabulary to the driver once.
+    This is the ONE permitted driver-side collect: the alias index is by
+    definition broadcast-sized (north rule)."""
+    rows = alias_index.select("aliases", "admin_region").collect()
+    gaz = sorted({a for r in rows for a in r["aliases"]})
+    regions = sorted({r["admin_region"] for r in rows if r["admin_region"]})
+    return gaz, regions
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_index: DataFrame,
+    checkpoint_dir: str | None = None,
+    extract_html: bool = True,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns all stage DataFrames."""
+    reg = CheckpointRegistry(spark, checkpoint_dir) if checkpoint_dir else None
+
+    def ck(name: str, make, partition_by=None) -> DataFrame:
+        if reg is None:
+            # no durable checkpoint requested: still break recomputation —
+            # every stage is consumed by several downstream stages, so an
+            # uncached lazy plan would re-run the whole upstream DAG per
+            # consumer (and per CC iteration).
+            return make().localCheckpoint(eager=False)
+        return reg.stage(name, make, partition_by=partition_by)
+
+    gaz, regions = gazetteer_from_alias_index(alias_index)
+
+    extracted = ck(
+        "extracted",
+        lambda: (with_extracted_text(pages.drop("text")) if extract_html else pages),
+    )
+    annotated = ck("annotated", lambda: annotate_pages(extracted, gaz, regions))
+    mentions = ck("mentions", lambda: explode_mentions(annotated))
+    relations = ck("relations", lambda: explode_relations(annotated))
+    links = ck("links", lambda: linkmod.link_mentions(mentions, alias_index))
+
+    def make_canonical_inputs():
+        return (
+            mentions.withColumn("norm_surface", linkmod.normalize_surface(F.col("surface")))
+            .groupBy("norm_surface")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        )
+
+    surfaces = ck("surfaces", make_canonical_inputs)
+    s2e = ck("surface_entity", lambda: linkmod.surface_to_entity_map(links))
+
+    def make_components():
+        edges = canon.same_as_edges(surfaces, s2e)
+        return canon.connected_components(
+            surfaces.select(F.col("norm_surface").alias("node")), edges
+        )
+
+    components = ck("components", make_components)
+    canonical_map = ck(
+        "canonical_map", lambda: canon.consensus_canonical(surfaces, components)
+    )
+    resolved = ck(
+        "resolved_surfaces", lambda: canon.resolve_unlinked_surfaces(components, s2e)
+    )
+    triples = ck(
+        "triples", lambda: resolve_triples(relations, links, resolved), partition_by=["pred"]
+    )
+
+    entities = ck("entities", lambda: mat.build_entities(alias_index, links))
+    edges_all = ck(
+        "edges",
+        lambda: mat.build_edges(triples, mat.build_mention_edges(links)),
+        partition_by=["pred"],
+    )
+    lineage = ck(
+        "lineage",
+        lambda: metrics.lineage_rows(edges_all, "edges", "subj").unionByName(
+            metrics.lineage_rows(triples, "triples", "subj")
+        ),
+    )
+
+    return {
+        "extracted": extracted,
+        "annotated": annotated,
+        "mentions": mentions,
+        "relations": relations,
+        "links": links,
+        "surfaces": surfaces,
+        "surface_entity": s2e,
+        "components": components,
+        "canonical_map": canonical_map,
+        "resolved_surfaces": resolved,
+        "triples": triples,
+        "entities": entities,
+        "edges": edges_all,
+        "lineage": lineage,
+    }

@@ -1,0 +1,73 @@
+"""Mention detection, blocked fuzzy linking, top-1 window, routing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgspark import fixtures
+from kgspark import link as linkmod
+from kgspark.mentions import annotate_pages, explode_mentions
+from kgspark.pipeline import gazetteer_from_alias_index
+
+
+def _mentions(spark, n=80):
+    pages = fixtures.gen_pages(spark, n)
+    aliases = fixtures.gen_alias_index(spark)
+    gaz, regions = gazetteer_from_alias_index(aliases)
+    ann = annotate_pages(pages, gaz, regions).localCheckpoint(eager=False)
+    return explode_mentions(ann), aliases
+
+
+def test_gazetteer_mentions_found(spark):
+    mentions, _ = _mentions(spark)
+    gaz_hits = mentions.where(F.col("kind") == "gazetteer")
+    assert gaz_hits.count() > 0
+    # golden mentions whose surface is an exact alias must all be detected
+    golden = fixtures.gen_golden_mentions(spark, 80)
+    exact_aliases = {a for r in fixtures.ALIAS_INDEX_ROWS for a in r[2]}
+    golden_exact = golden.where(F.col("surface").isin(list(exact_aliases)))
+    missing = golden_exact.join(
+        mentions.select("url", "surface").distinct(), ["url", "surface"], "left_anti"
+    ).count()
+    assert missing == 0
+
+
+def test_exact_and_fuzzy_link(spark):
+    mentions, aliases = _mentions(spark, 150)
+    links = linkmod.link_mentions(mentions, aliases).localCheckpoint(eager=False)
+    kinds = {r["match_kind"] for r in links.select("match_kind").distinct().collect()}
+    assert "exact" in kinds
+    # OCR-corrupted surfaces must link fuzzily to the right entity
+    fz = links.where(F.col("match_kind") == "fuzzy")
+    if fz.count() > 0:
+        bad = fz.where(
+            (F.col("surface").contains("Macdonaid")) & (F.col("entity_id") != "Q20")
+        ).count()
+        assert bad == 0
+
+
+def test_top1_unique_per_mention(spark):
+    mentions, aliases = _mentions(spark, 60)
+    links = linkmod.link_mentions(mentions, aliases)
+    dup = links.groupBy("url", "surface").count().where("count > 1").count()
+    assert dup == 0
+
+
+def test_link_golden_accuracy(spark):
+    """High-confidence links must agree with golden entity ids >= 95%."""
+    mentions, aliases = _mentions(spark, 150)
+    links = linkmod.link_mentions(mentions, aliases)
+    golden = fixtures.gen_golden_mentions(spark, 150).dropDuplicates(["url", "surface"])
+    joined = links.join(
+        golden.withColumnRenamed("entity_id", "gold_id"), ["url", "surface"]
+    ).cache()
+    n = joined.count()
+    agree = joined.where(F.col("entity_id") == F.col("gold_id")).count()
+    assert n > 0
+    assert agree / n >= 0.95
+
+
+def test_normalize_surface(spark):
+    df = spark.createDataFrame([("  Sir  John A. Macdonald. ",), ("OTTAWA",)], "s string")
+    out = [r[0] for r in df.select(linkmod.normalize_surface(F.col("s"))).collect()]
+    assert out == ["sir john a. macdonald", "ottawa"]
