@@ -166,39 +166,58 @@ def connected_components(
 
     Returns (node, component) where component = min node id in component.
     Convergence = no label changed (reference cycle-guard analog,
-    assign_canonical_names.py:146-151)."""
+    assign_canonical_names.py:146-151).
+
+    The frontier is sized adaptively: iteration jobs run over
+    ~max(1, n_edges/500k) partitions, so small graphs (distinct mention
+    surfaces are vocabulary-bounded) pay single-task job latency instead of
+    full-width shuffles, while billion-edge graphs get full parallelism.
+    The per-iteration min() aggregate is partially (map-side) combined, so
+    head-entity stars (one label feeding millions of neighbors) reduce
+    before the shuffle — the skew defusal the north rule asks for; AQE
+    skew-join handles the join side."""
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
-    labels = nodes.select(F.col(node_col).alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    ).localCheckpoint()
+    n_edges = sym.count()
+    n_parts = max(1, min(n_edges // 500_000, 1024))
+    spark = nodes.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sym = sym.repartition(n_parts, "dst").localCheckpoint()
 
-    for _ in range(max_iter):
-        # label each node with min(own, min over neighbors' labels)
-        neighbor_labels = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_labels, "node", "left")
-            .select(
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .repartition(n_parts, "node")
+        .localCheckpoint()
+    )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        for _ in range(max_iter):
+            # label each node with min(own, min over neighbors' labels)
+            neighbor_labels = (
+                sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = labels.join(neighbor_labels, "node", "left").select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("changed"),
             )
-        )
-        new_labels = new_labels.localCheckpoint()  # cut lineage per frontier
-        changed = new_labels.where(F.col("changed")).limit(1).count()
-        labels = new_labels.drop("changed")
-        if changed == 0:
-            break
+            new_labels = new_labels.localCheckpoint()  # cut lineage per frontier
+            changed = new_labels.where(F.col("changed")).limit(1).count()
+            labels = new_labels.drop("changed")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels
 
 

@@ -1,0 +1,880 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL
+for every operator family in SURVEY.md §2 plus the training-data ops.
+
+Each entry is a pure function (spark, sf_dir) -> DataFrame, paired with an
+ANSI-SQL string that DuckDB runs over the same parquet tables (views:
+region nation customer supplier part orders lineitem events documents
+embeddings). Column names/aliases are kept identical on both sides (the
+driver hash-compares values after sorting columns by name).
+
+Engine-portability rules used throughout:
+- money aggregates are summed as decimal(18,2) (exact, order-independent)
+  instead of double (order-dependent bits);
+- hashes/fingerprints use md5 hex strings (identical in both engines);
+- every top-k window carries a total order (score desc, id asc);
+- float scores are rounded to 6 decimals before comparison/ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ops import dedup, simsearch, textstats
+
+GAZ = ["spark", "join", "table", "window", "filter", "merge", "sort", "hash", "stream", "vector"]
+_GAZ_SQL = "(" + ", ".join(f"'{g}'" for g in GAZ) + ")"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# KG-shaped queries over `documents` (gazetteer mention pipeline analog)
+# =====================================================================
+
+
+@q(
+    "kg_mention_detect",
+    f"""
+    SELECT doc_id, t.term AS term, count(*) AS n
+    FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+    WHERE t.term IN {_GAZ_SQL}
+    GROUP BY doc_id, t.term
+    """,
+)
+def kg_mention_detect(spark, sf_dir):
+    """Gazetteer mention detection: token-explode + vocabulary filter
+    (SURVEY.md §2 mention scan; map-side only up to the final groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .where(F.col("term").isin(GAZ))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "kg_mention_topk",
+    f"""
+    SELECT term, count(DISTINCT doc_id) AS n_docs
+    FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+    WHERE t.term IN {_GAZ_SQL}
+    GROUP BY term ORDER BY n_docs DESC, term LIMIT 10
+    """,
+)
+def kg_mention_topk(spark, sf_dir):
+    """Reference TEST-6 analog: top-10 entities by page count
+    (groupBy + countDistinct + TakeOrderedAndProject)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .where(F.col("term").isin(GAZ))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("term"))
+        .limit(10)
+    )
+
+
+@q(
+    "kg_cooccurrence_edges",
+    f"""
+    WITH m AS (
+      SELECT DISTINCT doc_id, t.term AS term
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+      WHERE t.term IN {_GAZ_SQL}
+    )
+    SELECT a.term AS subj, 'cooccurs_with' AS pred, b.term AS obj,
+           count(*) AS weight
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+    """,
+)
+def kg_cooccurrence_edges(spark, sf_dir):
+    """Triple materialization analog: co-mention self-join with symmetric
+    dedup (a < b, reference O4) -> weighted (subj, pred, obj) edges."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .where(F.col("term").isin(GAZ))
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("term").alias("subj"))
+    b = m.select("doc_id", F.col("term").alias("obj"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("subj") < F.col("obj"))
+        .groupBy("subj", "obj")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select("subj", F.lit("cooccurs_with").alias("pred"), "obj", "weight")
+    )
+
+
+@q(
+    "kg_link_fuzzy",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT t.tok AS tok
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+      WHERE length(t.tok) >= 3
+    ), cand AS (
+      SELECT tok, g.term AS term, levenshtein(tok, g.term) AS lev
+      FROM toks, (SELECT unnest(ARRAY{GAZ!r}) AS term) g
+      WHERE levenshtein(tok, g.term) <= 1
+    )
+    SELECT tok, term, lev FROM (
+      SELECT tok, term, lev,
+             row_number() OVER (PARTITION BY tok ORDER BY lev, term) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def kg_link_fuzzy(spark, sf_dir):
+    """Fuzzy entity linking analog: distinct vocabulary vs broadcast
+    gazetteer, levenshtein<=1 verify, top-1 window (reference J6/J7/W1)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .where(F.length("tok") >= 3)
+        .distinct()
+    )
+    gaz = toks.sparkSession.createDataFrame([(g,) for g in GAZ], "term string")
+    cand = (
+        toks.crossJoin(F.broadcast(gaz))
+        .withColumn("lev", F.levenshtein("tok", "term"))
+        .where(F.col("lev") <= 1)
+    )
+    w = Window.partitionBy("tok").orderBy(F.asc("lev"), F.asc("term"))
+    return cand.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
+@q(
+    "kg_multihop_shared_terms",
+    f"""
+    WITH m AS (
+      SELECT DISTINCT doc_id, t.term AS term
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+      WHERE t.term IN {_GAZ_SQL}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM m a JOIN m b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 9
+    """,
+)
+def kg_multihop_shared_terms(spark, sf_dir):
+    """2-hop traversal analog (doc -mentions-> term <-mentions- doc):
+    doc pairs sharing >=9 gazetteer terms."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .where(F.col("term").isin(GAZ))
+        .distinct()
+    )
+    a = m.select(F.col("doc_id").alias("doc_a"), "term")
+    b = m.select(F.col("doc_id").alias("doc_b"), "term")
+    return (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 9)
+    )
+
+
+# =====================================================================
+# Relational operator coverage over the TPC-H-ish tables (SURVEY.md §2)
+# =====================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate with exact decimal sums
+    (order-independent — double sums are partition-order-dependent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k (broadcast dim, AQE plan)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount")).cast("decimal(18,2)")
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "join_semi_orders",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderstatus
+    """,
+)
+def join_semi_orders(spark, sf_dir):
+    """Left-semi join (reference J3 existence-validation, the O(n)-scan
+    per row the reference hand-rolled — Catalyst's free lunch)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "join_anti_customers",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+    GROUP BY n_name
+    """,
+)
+def join_anti_customers(spark, sf_dir):
+    """Left-anti join (reference U3 anti-membership) + broadcast dim join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "window_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def window_top_order_per_customer(spark, sf_dir):
+    """Argmax-per-group window (reference W1/J8 best-candidate)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "window_lag_events",
+    """
+    SELECT user_id, event_id,
+           CAST(floor((value - lag(value) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)) * 1000000.0) AS BIGINT) AS delta_e6
+    FROM events
+    """,
+)
+def window_lag_events(spark, sf_dir):
+    """lag/lead analytic window (reference W3 temporal-chain step)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.floor((F.col("value") - F.lag("value").over(w)) * 1000000.0)
+        .cast("long")
+        .alias("delta_e6"),
+    )
+
+
+@q(
+    "mode_event_type",
+    """
+    SELECT user_id, event_type AS mode_event FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def mode_event_type(spark, sf_dir):
+    """Mode / consensus top-1 frequency (reference A4 canonical-name vote)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").count()
+    w = Window.partitionBy("user_id").orderBy(F.desc("count"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("event_type").alias("mode_event"))
+    )
+
+
+@q(
+    "unpivot_lineitem",
+    """
+    SELECT measure, sum(CAST(value AS DECIMAL(18,2))) AS total
+    FROM (
+      SELECT l_orderkey, measure, value
+      FROM lineitem
+      UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    )
+    GROUP BY measure
+    """,
+)
+def unpivot_lineitem(spark, sf_dir):
+    """Wide->long melt (reference R1 measurement unpivot) + exact agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.melt(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return melted.groupBy("measure").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+    )
+
+
+@q(
+    "set_except_nations",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def set_except_nations(spark, sf_dir):
+    """Set difference (reference U3) over two semi-joined dimensions."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    with_cust = nation.join(
+        cust, nation.n_nationkey == cust.c_nationkey, "left_semi"
+    ).select("n_name")
+    with_supp = nation.join(
+        supp, nation.n_nationkey == supp.s_nationkey, "left_semi"
+    ).select("n_name")
+    return with_cust.exceptAll(with_supp).distinct()
+
+
+@q(
+    "classify_part_types",
+    """
+    SELECT CASE WHEN p_type LIKE '%PROMO%' THEN 'promo'
+                WHEN p_type LIKE '%ECONOMY%' THEN 'economy'
+                WHEN regexp_matches(p_type, '.*(MEDIUM|LARGE).*') THEN 'bulky'
+                ELSE 'other' END AS category,
+           count(*) AS n_parts,
+           sum(CAST(p_retailprice AS DECIMAL(18,2))) AS total_price
+    FROM part GROUP BY 1
+    """,
+)
+def classify_part_types(spark, sf_dir):
+    """when/rlike classification chain (reference P7 derive_level)."""
+    part = _t(spark, sf_dir, "part")
+    cat = (
+        F.when(F.col("p_type").contains("PROMO"), "promo")
+        .when(F.col("p_type").contains("ECONOMY"), "economy")
+        .when(F.col("p_type").rlike(".*(MEDIUM|LARGE).*"), "bulky")
+        .otherwise("other")
+    )
+    return (
+        part.withColumn("category", cat)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
+@q(
+    "date_rollup_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_rollup_orders(spark, sf_dir):
+    """Date scalar functions + multi-key agg (reference §2.8 date family)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+
+
+@q(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS total_value_e6
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (incremental-batch analog of the
+    streaming counter, SURVEY.md §2.11)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias("total_value_e6"),
+        )
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: gap-detection via lag + running flags (stateful-op
+    shape expressed as windows; streaming version in streaming.py)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions")
+    )
+
+
+# =====================================================================
+# Dedup / text-analysis / similarity ops (training-data pipeline)
+# =====================================================================
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# For near-dup demos the corpus has no real duplicates, so each query builds
+# a deterministic perturbed twin (doc_id + 10^7, first ~80% of tokens) inside
+# the query — identically on both engines — and finds doc/twin pairs.
+_TWIN_SQL = """
+  WITH base AS (
+    SELECT doc_id, lower(text) AS text FROM documents
+  ), twin AS (
+    SELECT doc_id + 10000000 AS doc_id,
+           array_to_string(
+             list_slice(string_split_regex(text, '\\s+'), 1,
+                        greatest(CAST(floor(len(string_split_regex(text, '\\s+')) * 0.8) AS INT), 1)),
+             ' ') AS text
+    FROM base
+  ), corpus AS (
+    SELECT * FROM base UNION ALL SELECT * FROM twin
+  )
+"""
+
+
+def _with_twins(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.lower("text"), r"\s+")
+    twin = docs.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks, 1, F.greatest(F.floor(F.size(toks) * 0.8).cast("int"), F.lit(1))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return docs.select("doc_id", F.lower("text").alias("text")).unionByName(twin)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _TWIN_SQL
+    + """
+    , sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(list_slice(toks, i, i + 3), ' ')
+                            for i in range(1, greatest(len(toks) - 3, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus)
+    ), ex AS (
+      SELECT doc_id, u.shingle FROM sh, unnest(shingles) AS u(shingle)
+    ), rare AS (
+      SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 20
+    ), blocked AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)
+    ), shared AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(DISTINCT a.shingle) AS n_shared
+      FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.a, s.b,
+           CAST(floor(s.n_shared / (sa.n + sb.n - s.n_shared) * 1000000.0) AS BIGINT) AS jaccard_e6
+    FROM shared s
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON s.a = sa.doc_id
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON s.b = sb.doc_id
+    WHERE s.n_shared >= 0.5 * (sa.n + sb.n - s.n_shared)
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    corpus = _with_twins(_t(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(corpus, shingle_n=4, threshold=0.5, max_df=20)
+
+
+@q(
+    "dedup_minhash_lsh",
+    _TWIN_SQL
+    + """
+    , sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus)
+    ), sig AS (
+      SELECT doc_id,
+             list_min(list_transform(shingles, s -> md5(s || '#0'))) AS mh0,
+             list_min(list_transform(shingles, s -> md5(s || '#1'))) AS mh1,
+             list_min(list_transform(shingles, s -> md5(s || '#2'))) AS mh2,
+             list_min(list_transform(shingles, s -> md5(s || '#3'))) AS mh3,
+             list_min(list_transform(shingles, s -> md5(s || '#4'))) AS mh4,
+             list_min(list_transform(shingles, s -> md5(s || '#5'))) AS mh5,
+             list_min(list_transform(shingles, s -> md5(s || '#6'))) AS mh6,
+             list_min(list_transform(shingles, s -> md5(s || '#7'))) AS mh7
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    corpus = _with_twins(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(corpus, n_hashes=8, n_bands=4, shingle_n=3)
+
+
+@q(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.tok AS tok
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), bits AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, {sums}
+      FROM bits GROUP BY doc_id
+    )
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
+    GROUP BY simhash HAVING count(*) > 1
+    """.format(
+        sums=", ".join(
+            f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+            for j in range(16)
+        ),
+        sig=" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)),
+    ),
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(floor(length(text) / greatest(len(toks), 1) * 1000000.0) AS BIGINT) AS avg_token_len_e6,
+           CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS INT))) AS INT) AS n_subwords
+    FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents)
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_quality_score",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CAST(floor(least(len(toks) / 100.0, 1.0) * 1000000.0) AS BIGINT) AS len_score_e6,
+             CAST(floor((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1) * 1000000.0) AS BIGINT) AS punct_ratio_e6,
+             CAST(floor(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is','was','it'], t))) / greatest(len(toks), 1) * 1000000.0) AS BIGINT) AS stopword_ratio_e6
+      FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT doc_id, len_score_e6, punct_ratio_e6, stopword_ratio_e6,
+           CAST(floor(0.4 * len_score_e6 + 0.3 * (1000000 - punct_ratio_e6)
+                    + 0.3 * least(stopword_ratio_e6 * 5, 1000000)) AS BIGINT) AS quality_e6
+    FROM raw
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_langid",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> list_contains(['the','and','of','was','is'], t))) AS hits_en,
+             len(list_filter(toks, t -> list_contains(['le','la','et','de','est'], t))) AS hits_fr,
+             len(list_filter(toks, t -> list_contains(['der','die','und','von','ist'], t))) AS hits_de,
+             len(list_filter(toks, t -> list_contains(['el','la','y','de','es'], t))) AS hits_es
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           greatest(hits_de, hits_en, hits_es, hits_fr) AS lang_hits
+    FROM scored
+    """,
+)
+def text_langid(spark, sf_dir):
+    return textstats.langid_heuristic(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(string_split_regex(lower(text), '\\s+')), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip(a.embedding, q.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_NORM_A = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_NORM_Q = "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_COS_E6 = f"CAST(floor({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}) * 1000000.0) AS BIGINT)"
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+             {_COS_E6} AS cosine_sim_e6
+      FROM embeddings a, embeddings q
+      WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim_e6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.brute_force_topk(emb, queries, k=5)
+
+
+@q(
+    "ann_lsh_bucketed",
+    f"""
+    WITH b AS (
+      SELECT *, (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+               + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+               + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+               + CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+             {_COS_E6} AS cosine_sim_e6
+      FROM b a JOIN b q ON a.bucket = q.bucket
+      WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim_e6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.lsh_bucketed_topk(emb, queries, k=5)
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH b AS (
+      SELECT *, (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+               + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+               + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+               + CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a, q.vec_id AS b,
+           {_COS_E6} AS cosine_sim_e6
+    FROM b a JOIN b q ON a.bucket = q.bucket AND a.vec_id < q.vec_id
+    WHERE {_COS_E6} >= 400000
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return simsearch.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# =====================================================================
+# Flagship: the full KG pipeline itself (non-SQL-expressible -> no oracle;
+# driver records a rows-only check)
+# =====================================================================
+
+
+def kg_pipeline_triples(spark, sf_dir):
+    """Full pipeline on the deterministic fixture corpus (size ~ sf)."""
+    from . import fixtures
+    from .pipeline import run_pipeline
+
+    n = 200
+    if "0.01" in sf_dir and "0.001" not in sf_dir:
+        n = 1000
+    elif "0.1" in sf_dir:
+        n = 5000
+    pages = fixtures.gen_pages(spark, n)
+    aliases = fixtures.gen_alias_index(spark)
+    return run_pipeline(spark, pages, aliases)["triples"]
+
+
+QUERIES["kg_pipeline_triples"] = kg_pipeline_triples

@@ -173,6 +173,15 @@ def page_record(i: int, seed: int = SEED) -> dict:
     }
 
 
+def _n_parts(spark, n: int) -> int:
+    """Partition count for generated corpora: a multiple of the cluster's
+    parallelism (so no core idles on the map-heavy stages) but coarse
+    enough (>= ~400 pages/task) that Arrow batch + task-launch overhead
+    stays amortized."""
+    cores = spark.sparkContext.defaultParallelism
+    return max(cores * 2, min(n // 400, cores * 8, 512))
+
+
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 GOLDEN_SCHEMA = "subj string, pred string, obj string, src_url string"
 GOLDEN_MENTION_SCHEMA = "url string, surface string, entity_id string"
@@ -192,7 +201,11 @@ def gen_pages(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
                 [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in recs]
             )
 
-    return spark.range(n).repartition(max(8, min(n // 1000, 256))).mapInPandas(make, PAGES_SCHEMA)
+    return (
+        spark.range(n)
+        .repartition(_n_parts(spark, n))
+        .mapInPandas(make, PAGES_SCHEMA)
+    )
 
 
 def gen_golden_triples(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
@@ -209,7 +222,7 @@ def gen_golden_triples(spark: SparkSession, n: int, seed: int = SEED) -> DataFra
                 )
             yield pd.DataFrame(rows, columns=["subj", "pred", "obj", "src_url"])
 
-    return spark.range(n).repartition(max(8, min(n // 1000, 256))).mapInPandas(make, GOLDEN_SCHEMA)
+    return spark.range(n).repartition(_n_parts(spark, n)).mapInPandas(make, GOLDEN_SCHEMA)
 
 
 def gen_golden_mentions(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
@@ -223,7 +236,7 @@ def gen_golden_mentions(spark: SparkSession, n: int, seed: int = SEED) -> DataFr
                 )
             yield pd.DataFrame(rows, columns=["url", "surface", "entity_id"])
 
-    return spark.range(n).repartition(max(8, min(n // 1000, 256))).mapInPandas(
+    return spark.range(n).repartition(_n_parts(spark, n)).mapInPandas(
         make, GOLDEN_MENTION_SCHEMA
     )
 

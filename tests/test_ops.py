@@ -1,0 +1,131 @@
+"""Training-data ops: dedup family, similarity search, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgspark.ops import dedup, multimodal, simsearch, textstats
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "spark engines about completely different content"),  # shuffled 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark)).collect()
+    groups = {r["canonical_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert groups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(_docs(spark), shingle_n=2).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    # near-dup 1~3 should usually collide on some band; exact dup must
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard(spark):
+    out = dedup.ngram_jaccard_pairs(_docs(spark), shingle_n=2, threshold=0.3).collect()
+    pairs = {(r["a"], r["b"]): r["jaccard_e6"] for r in out}
+    assert pairs[(1, 2)] == 1_000_000
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 300_000
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(_docs(spark)).collect()}
+    assert sig[1] == sig[2]
+    assert sig[4] == sig[5]  # simhash is order-insensitive over distinct tokens
+    assert 0 <= sig[1] < (1 << 16)
+
+
+def test_fingerprint_order_insensitive(spark):
+    fp = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(_docs(spark)).collect()}
+    assert fp[4] == fp[5]
+    assert fp[1] != fp[3]
+
+
+def test_token_stats_and_quality(spark):
+    st = {r["doc_id"]: r for r in textstats.token_stats(_docs(spark)).collect()}
+    assert st[1]["n_tokens"] == 9
+    q = {r["doc_id"]: r for r in textstats.quality_score(_docs(spark)).collect()}
+    assert 0 <= q[1]["quality_e6"] <= 1_000_000
+    assert q[1]["stopword_ratio_e6"] > 0  # contains 'the' twice
+
+
+def test_langid(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog was here"), (2, "le chat et la mer est belle"),
+         (3, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.langid_heuristic(docs).collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "und"
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, -0.1, 0.0, 0.0]),  # same SRP bucket as 1 (dim-1 sign bit: 0 is not > 0)
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    v = _vectors(spark)
+    q = v.where("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = simsearch.brute_force_topk(v, q, k=2).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_lsh_bucket_blocks_opposite_sign(spark):
+    v = _vectors(spark)
+    q = v.where("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = simsearch.lsh_bucketed_topk(v, q, k=3).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 2 in ids and 4 not in ids  # opposite-sign vector lands in another bucket
+
+
+def test_embedding_dup_pairs(spark):
+    out = simsearch.embedding_dup_pairs(_vectors(spark), threshold=0.9).collect()
+    assert {(r["a"], r["b"]) for r in out} == {(1, 2)}
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = multimodal.gen_media_fixture(spark, 30)
+    decoded = multimodal.decode_images(media.where("kind = 'image'"))
+    rows = decoded.collect()
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["width"] >= 64 and r["n_channels"] in (1, 2, 3) for r in rows)
+    # deterministic: same payload -> same fake dims
+    again = {r["media_id"]: (r["width"], r["height"]) for r in multimodal.decode_images(
+        media.where("kind = 'image'")).collect()}
+    assert {r["media_id"]: (r["width"], r["height"]) for r in rows} == again
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.gen_media_fixture(spark, 30)
+    frames = multimodal.sample_frames(media.where("kind = 'video'"), every_n_seconds=1.0)
+    pdf = frames.toPandas()
+    assert len(pdf) > 0
+    per = pdf.groupby("media_id").size()
+    assert (per >= 2).all()  # durations are 2-6s
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"xx")

@@ -1,0 +1,78 @@
+"""The 11-query parity suite over a materialized fixture graph, plus
+entry-contract smoke (queries()/oracle_sql() keys agree)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import fixtures, queries
+from kgspark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    out = run_pipeline(spark, fixtures.gen_pages(spark, 250), fixtures.gen_alias_index(spark))
+    return {
+        "entities": out["entities"].cache(),
+        "edges": out["edges"].cache(),
+    }
+
+
+def test_q1_lookup(graph):
+    rows = queries.q1_entity_lookup(graph["entities"], "Ottawa").collect()
+    assert len(rows) == 1 and rows[0]["entity_id"] == "Q2"
+
+
+def test_q3_pred_census(graph):
+    preds = {r["pred"] for r in queries.q3_count_by_pred(graph["edges"]).collect()}
+    assert {"mentions", "born_in", "governed", "signed", "located_in",
+            "participated_in"} <= preds
+
+
+def test_q4_topk_head_entity(graph):
+    top = queries.q4_mentions_per_entity_topk(graph["edges"], graph["entities"]).collect()
+    assert top[0]["canonical_name"] == "Canada"  # built-in head-entity skew
+
+
+def test_q5_two_hop(graph):
+    rows = queries.q5_two_hop_coparticipants(graph["edges"]).collect()
+    assert all(r["person_a"] < r["person_b"] for r in rows)
+    assert len(rows) > 0
+
+
+def test_q6_four_hop(graph):
+    rows = queries.q6_four_hop(graph["edges"], graph["entities"]).collect()
+    assert len(rows) > 0
+    assert all(r["n_signers"] >= 1 for r in rows)
+
+
+def test_q7_region_rollup(graph):
+    rows = queries.q7_aggregate_by_region(graph["edges"], graph["entities"]).collect()
+    regions = {r["admin_region"] for r in rows}
+    assert "Ontario" in regions and "Canada" in regions
+
+
+def test_q10_window_argmax(graph):
+    df = queries.q10_top1_fact_per_entity(graph["edges"])
+    dup = df.groupBy("subj").count().where("count > 1").count()
+    assert dup == 0
+
+
+def test_q11_orphans_are_vocabulary_only(graph):
+    orphans = {r["entity_id"] for r in queries.q11_orphan_entities(
+        graph["entities"], graph["edges"]).collect()}
+    # every orphan must be a known vocabulary entity (no phantom ids)
+    known = {r[0] for r in fixtures.ALIAS_INDEX_ROWS}
+    assert orphans <= known
+
+
+def test_entry_contract_keys():
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+    # oracle-less entries are the documented non-SQL-expressible ones
+    assert set(qs) - set(oracles) == {"kg_pipeline_triples"}
