@@ -767,6 +767,40 @@ def text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "melt_observations_part",
+    """
+    SELECT p_partkey, variable,
+           value AS value_numeric,
+           CAST(NULL AS VARCHAR) AS value_string,
+           CASE WHEN contains(lower(variable), 'price') THEN 'currency'
+                WHEN contains(lower(variable), 'size') THEN 'count'
+                ELSE 'unknown' END AS unit
+    FROM (
+      SELECT p_partkey, variable, value
+      FROM (SELECT p_partkey,
+                   CAST(p_size AS DOUBLE) AS p_size,
+                   CAST(p_retailprice AS DOUBLE) AS p_retailprice
+            FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey))
+      UNPIVOT (value FOR variable IN (p_size, p_retailprice))
+    ) WHERE value IS NOT NULL
+    """,
+)
+def melt_observations_part(spark, sf_dir):
+    """Reference R1 measurement extraction: wide->long melt + unit-inference
+    when-chain + semi-join id validation (observations.py)."""
+    from .observations import melt_observations
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    valid = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return melt_observations(part, id_cols=["p_partkey"], valid_ids=valid)
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================
@@ -863,7 +897,14 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 def kg_pipeline_triples(spark, sf_dir):
-    """Full pipeline on the deterministic fixture corpus (size ~ sf)."""
+    """Full pipeline on the deterministic fixture corpus (size ~ sf).
+
+    Runs interpreted: whole-stage-codegen compile of the ~50-stage plan is
+    ~60s of serial driver time per plan shape (amortizes to zero on a real
+    cluster, measured in docs/SCALING.md); for a one-shot correctness run
+    it would dominate. Registered last so the conf change cannot affect
+    other queries in a sequential run."""
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     from . import fixtures
     from .pipeline import run_pipeline
 
