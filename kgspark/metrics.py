@@ -34,6 +34,25 @@ def stage_counts(df: DataFrame, stage: str, by: str | None = None) -> DataFrame:
     return total.unionByName(per)
 
 
+def cardinality_counters(df: DataFrame, stage: str, cols: list[str]) -> DataFrame:
+    """(stage, metric, value) approximate-distinct counters — the idiomatic
+    upgrade over exact countDistinct for page/entity cardinalities at 10^12
+    rows (SURVEY.md §2.4): HyperLogLog++ sketches merge map-side, so a
+    head-key column costs the same as a uniform one."""
+    aggs = [F.approx_count_distinct(c).alias(c) for c in cols]
+    row = df.groupBy().agg(*aggs)
+    stacked = row.selectExpr(
+        f"stack({len(cols)}, "
+        + ", ".join(f"'{c}', {c}" for c in cols)
+        + ") as (col, value)"
+    )
+    return stacked.select(
+        F.lit(stage).alias("stage"),
+        F.concat(F.lit("approx_distinct_"), F.col("col")).alias("metric"),
+        F.col("value").cast("long").alias("value"),
+    )
+
+
 def lineage_rows(df: DataFrame, stage: str, key_col: str) -> DataFrame:
     """One lineage row per physical partition of the stage output."""
     return (
