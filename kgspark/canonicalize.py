@@ -195,29 +195,55 @@ def connected_components(
         .repartition(n_parts, "node")
         .localCheckpoint()
     )
+    converged = False
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         for _ in range(max_iter):
-            # label each node with min(own, min over neighbors' labels)
+            # step 1 — neighbor min: m(v) = min(label(v), labels of neighbors)
             neighbor_labels = (
                 sym.join(labels.withColumnRenamed("node", "dst"), "dst")
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.min("component").alias("nbr_component"))
             )
-            new_labels = labels.join(neighbor_labels, "node", "left").select(
+            stepped = labels.join(neighbor_labels, "node", "left").select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("changed"),
             )
-            new_labels = new_labels.localCheckpoint()  # cut lineage per frontier
-            changed = new_labels.where(F.col("changed")).limit(1).count()
-            labels = new_labels.drop("changed")
+            # step 2 — pointer doubling: component(v) := component(component(v)).
+            # Neighbor-min alone moves labels one hop per round (O(diameter) —
+            # a 50-node chain would silently exhaust max_iter); the label-of-
+            # label jump doubles propagation distance per round => O(log n).
+            parent = stepped.select(
+                F.col("node").alias("component"), F.col("component").alias("grand")
+            )
+            doubled = stepped.join(parent, "component", "left").select(
+                "node",
+                F.least(F.coalesce("grand", "component"), F.col("component")).alias(
+                    "component"
+                ),
+            )
+            new_labels = doubled.localCheckpoint()  # cut lineage per frontier
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
             if changed == 0:
+                converged = True
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter too large?) — raise max_iter; silent mislabeling "
+            "is not an option"
+        )
     return labels
 
 

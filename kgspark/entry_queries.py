@@ -768,6 +768,62 @@ def text_fingerprint(spark, sf_dir):
 
 
 @q(
+    "rollup_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark, sf_dir):
+    """Grouping-sets rollup (SURVEY §2.4: 'cube/rollup free if we extend
+    reporting') — subtotal rows coalesced to 'ALL' for engine parity."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@q(
+    "json_extract_events",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def json_extract_events(spark, sf_dir):
+    """JSON path extraction over a string column (reference §2.8 JSON walk
+    of the SPARQL response, re-expressed as get_json_object)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_value", F.get_json_object("props", "$.k").try_cast("long"))
+        .where(F.col("k_value").isNotNull())
+        .groupBy("k_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@q(
     "melt_observations_part",
     """
     SELECT p_partkey, variable,

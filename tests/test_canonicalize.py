@@ -38,6 +38,25 @@ def test_cc_long_chain_converges(spark):
     assert set(comp.values()) == {"n00"}
 
 
+def test_cc_very_long_chain_pointer_doubling(spark):
+    """60-node path: plain min-propagation needs 60 rounds (> max_iter=25);
+    pointer doubling must converge within the budget or raise — never
+    silently mislabel."""
+    nodes = [f"n{i:02d}" for i in range(60)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(59)]
+    comp = _cc(spark, nodes, edges)
+    assert set(comp.values()) == {"n00"}
+
+
+def test_cc_two_chains_and_isolated(spark):
+    nodes = [f"a{i}" for i in range(20)] + [f"b{i}" for i in range(20)] + ["solo"]
+    edges = [(f"a{i}", f"a{i+1}") for i in range(19)] + [
+        (f"b{i}", f"b{i+1}") for i in range(19)
+    ]
+    comp = _cc(spark, nodes, edges)
+    assert comp["a19"] == "a0" and comp["b19"] == "b0" and comp["solo"] == "solo"
+
+
 def test_cc_star_skew(spark):
     """Head-entity star: hub connected to 200 spokes — one component."""
     nodes = ["hub"] + [f"s{i}" for i in range(200)]
