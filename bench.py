@@ -29,7 +29,7 @@ from pathlib import Path
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "240000"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # Scaling pair: this sandbox VM exposes 32 hyperthreads over ~16 physical
 # cores (a pure-JVM compute kernel saturates at ~2.3x going 8->32 threads),
 # so the N vs 4N comparison uses 2 vs 8 threads — both inside the physical
@@ -133,9 +133,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, SF_DIR).count()  # warmup (codegen)
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        results[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: one steal burst must not poison the number
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        results[name] = round(best, 3)
         unpersist_all(spark)
 
     spark.stop()
