@@ -160,7 +160,7 @@ def kg_link_fuzzy(spark, sf_dir):
     gaz = toks.sparkSession.createDataFrame([(g,) for g in GAZ], "term string")
     cand = (
         toks.crossJoin(F.broadcast(gaz))
-        .withColumn("lev", F.levenshtein("tok", "term"))
+        .withColumn("lev", F.levenshtein("tok", "term").cast("long"))
         .where(F.col("lev") <= 1)
     )
     w = Window.partitionBy("tok").orderBy(F.asc("lev"), F.asc("term"))
@@ -211,8 +211,8 @@ def kg_multihop_shared_terms(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -227,8 +227,15 @@ def q1_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            # Outer cast back to DECIMAL(18,2): Spark widens sum(decimal(18,2))
+            # to decimal(28,2) while DuckDB widens to decimal(38,2); pinning the
+            # result type on BOTH sides is what makes the typed value-hash match.
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -238,8 +245,8 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_top_revenue_orders",
     """
     SELECT l_orderkey,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -258,10 +265,15 @@ def q3_top_revenue_orders(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
+            # DECIMAL(38,4) is lossless on both sides (Spark sums the scale-4
+            # product to decimal(38,4); DuckDB to decimal(38,4)) and pins the
+            # driver-hashed type without any re-rounding.
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (1 - F.col("l_discount")).cast("decimal(18,2)")
-            ).alias("revenue")
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -384,7 +396,7 @@ def mode_event_type(spark, sf_dir):
 @q(
     "unpivot_lineitem",
     """
-    SELECT measure, sum(CAST(value AS DECIMAL(18,2))) AS total
+    SELECT measure, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
     FROM (
       SELECT l_orderkey, measure, value
       FROM lineitem
@@ -403,7 +415,7 @@ def unpivot_lineitem(spark, sf_dir):
         valueColumnName="value",
     )
     return melted.groupBy("measure").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total")
     )
 
 
@@ -437,7 +449,7 @@ def set_except_nations(spark, sf_dir):
                 WHEN regexp_matches(p_type, '.*(MEDIUM|LARGE).*') THEN 'bulky'
                 ELSE 'other' END AS category,
            count(*) AS n_parts,
-           sum(CAST(p_retailprice AS DECIMAL(18,2))) AS total_price
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
     FROM part GROUP BY 1
     """,
 )
@@ -455,7 +467,9 @@ def classify_part_types(spark, sf_dir):
         .groupBy("category")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
         )
     )
 
@@ -466,7 +480,7 @@ def classify_part_types(spark, sf_dir):
     SELECT CAST(year(o_orderdate) AS INT) AS yr,
            CAST(quarter(o_orderdate) AS INT) AS qtr,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -480,7 +494,9 @@ def date_rollup_orders(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
         )
     )
 
@@ -490,7 +506,7 @@ def date_rollup_orders(spark, sf_dir):
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events,
-           sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS total_value_e6
+           CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS total_value_e6
     FROM events GROUP BY 1, 2
     """,
 )
@@ -504,7 +520,9 @@ def events_hourly(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias("total_value_e6"),
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("long"))
+            .cast("long")
+            .alias("total_value_e6"),
         )
     )
 
@@ -773,7 +791,7 @@ def text_fingerprint(spark, sf_dir):
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -786,7 +804,9 @@ def rollup_orders(spark, sf_dir):
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -947,6 +967,191 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 # =====================================================================
+# Spatial operator family (reference J1/J2/A2) on deterministic synthetic
+# rectangles derived from `part` keys — two census-year-style snapshots.
+# All arithmetic is on integer-valued doubles, so IoU e6 fixed point is
+# bit-identical across engines.
+# =====================================================================
+
+# year-A: a 10x10 tiling; year-B: the same units shifted/shrunk per key
+# (boundary changes between snapshots). SQL and Spark derive them with the
+# same integer arithmetic.
+_RECT_A_SQL = """
+  SELECT p_partkey AS unit_id,
+         CAST((p_partkey % 50) * 10 AS DOUBLE) AS xmin,
+         CAST(floor(p_partkey / 50.0) * 10 AS DOUBLE) AS ymin,
+         CAST((p_partkey % 50) * 10 + 10 AS DOUBLE) AS xmax,
+         CAST(floor(p_partkey / 50.0) * 10 + 10 AS DOUBLE) AS ymax
+  FROM part
+"""
+_RECT_B_SQL = """
+  SELECT p_partkey AS unit_id,
+         CAST((p_partkey % 50) * 10 + (p_partkey % 4) AS DOUBLE) AS xmin,
+         CAST(floor(p_partkey / 50.0) * 10 + (p_partkey % 3) AS DOUBLE) AS ymin,
+         CAST((p_partkey % 50) * 10 + (p_partkey % 4) + 9 AS DOUBLE) AS xmax,
+         CAST(floor(p_partkey / 50.0) * 10 + (p_partkey % 3) + 9 AS DOUBLE) AS ymax
+  FROM part
+"""
+
+
+def _rects(spark, sf_dir, snapshot: str) -> DataFrame:
+    from . import spatial
+
+    k = F.col("p_partkey")
+    cx = (k % 50).cast("double") * 10.0
+    cy = F.floor(k / F.lit(50.0)).cast("double") * 10.0
+    if snapshot == "a":
+        xmin, ymin = cx, cy
+        xmax, ymax = cx + 10.0, cy + 10.0
+    else:
+        xmin = cx + (k % 4).cast("double")
+        ymin = cy + (k % 3).cast("double")
+        xmax, ymax = xmin + 9.0, ymin + 9.0
+    return _t(spark, sf_dir, "part").select(
+        k.alias("unit_id"),
+        spatial.bbox_struct(xmin, ymin, xmax, ymax).alias("bbox"),
+    )
+
+
+@q(
+    "spatial_overlap_join",
+    f"""
+    WITH a AS ({_RECT_A_SQL}), b AS ({_RECT_B_SQL}),
+    t AS (
+      SELECT a.unit_id AS a_id, b.unit_id AS b_id,
+             greatest(least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin), 0.0) AS iw,
+             greatest(least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin), 0.0) AS ih
+      FROM a JOIN b
+        ON b.xmin <= a.xmax AND a.xmin <= b.xmax
+       AND b.ymin <= a.ymax AND a.ymin <= b.ymax
+    )
+    SELECT a_id, b_id,
+           CAST(floor(1000000.0 * (iw * ih) / (100.0 + 81.0 - iw * ih)) AS BIGINT) AS iou_e6,
+           CAST(floor(1000000.0 * (iw * ih) / 100.0) AS BIGINT) AS a_cover_e6,
+           CAST(floor(1000000.0 * (iw * ih) / 81.0) AS BIGINT) AS b_cover_e6
+    FROM t
+    WHERE floor(1000000.0 * (iw * ih) / (100.0 + 81.0 - iw * ih)) >= 100000
+    """,
+)
+def spatial_overlap_join_q(spark, sf_dir):
+    """Cross-snapshot IoU join (reference J1, link_csd_years_spatial_v2.py:
+    188-264): grid-cell blocked equi-join + reference-point dedup instead of
+    the reference's per-row R-tree loop. The oracle brute-forces all pairs
+    (fine at sf0.01); the Spark plan shuffles once on cell id."""
+    from . import spatial
+
+    return spatial.spatial_overlap_join(
+        _rects(spark, sf_dir, "a"),
+        _rects(spark, sf_dir, "b"),
+        cell_size=16.0,
+        iou_threshold_e6=100000,
+    )
+
+
+@q(
+    "spatial_borders",
+    f"""
+    WITH a AS ({_RECT_A_SQL})
+    SELECT l.unit_id AS a_id, r.unit_id AS b_id
+    FROM a l JOIN a r ON l.unit_id < r.unit_id
+      AND least(l.xmax, r.xmax) >= greatest(l.xmin, r.xmin)
+      AND least(l.ymax, r.ymax) >= greatest(l.ymin, r.ymin)
+      AND (least(l.xmax, r.xmax) = greatest(l.xmin, r.xmin)
+           OR least(l.ymax, r.ymax) = greatest(l.ymin, r.ymin))
+    """,
+)
+def spatial_borders_q(spark, sf_dir):
+    """Shared-border self-join (reference J2, build_neo4j_cidoc_crm.py:
+    218-269): edge/corner contact with zero interior overlap, symmetric
+    dedup via id ordering."""
+    from . import spatial
+
+    return spatial.spatial_borders(_rects(spark, sf_dir, "a"), cell_size=16.0)
+
+
+@q(
+    "spatial_dissolve",
+    f"""
+    WITH a AS ({_RECT_A_SQL})
+    SELECT CAST(floor(unit_id / 50.0) AS BIGINT) AS parent_id,
+           count(*) AS n_parts,
+           min(xmin) AS xmin, min(ymin) AS ymin,
+           max(xmax) AS xmax, max(ymax) AS ymax,
+           CAST(sum((xmax - xmin) * (ymax - ymin)) AS DOUBLE) AS area_sum
+    FROM a GROUP BY 1
+    """,
+)
+def spatial_dissolve_q(spark, sf_dir):
+    """Dissolve member units into parents (reference A2,
+    build_cd_presences.py:51-60): pure built-in min/max/sum aggregation —
+    map-side combinable, so a head parent costs the same as any other."""
+    from . import spatial
+
+    units = _rects(spark, sf_dir, "a").withColumn(
+        "parent_id", F.floor(F.col("unit_id") / F.lit(50.0)).cast("long")
+    )
+    d = spatial.dissolve(units, "parent_id")
+    return d.select(
+        "parent_id",
+        "n_parts",
+        F.col("extent.xmin").alias("xmin"),
+        F.col("extent.ymin").alias("ymin"),
+        F.col("extent.xmax").alias("xmax"),
+        F.col("extent.ymax").alias("ymax"),
+        F.col("area_sum").cast("double").alias("area_sum"),
+    )
+
+
+# =====================================================================
+# Temporal-snapshot evolution (reference assign_canonical_names.py:96-158
+# chronological chains; W3 lag/lead) — documents get a deterministic
+# snapshot year from their key, mentions are tracked across years.
+# =====================================================================
+
+
+@q(
+    "entity_timeline_changes",
+    f"""
+    WITH m AS (
+      SELECT 1867 + doc_id % 5 AS yr, t.term AS term,
+             count(DISTINCT doc_id) AS n_docs
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+      WHERE t.term IN {_GAZ_SQL}
+      GROUP BY 1, 2
+    )
+    SELECT term, CAST(yr AS BIGINT) AS yr, n_docs,
+           CAST(n_docs - lag(n_docs) OVER (PARTITION BY term ORDER BY yr)
+                AS BIGINT) AS delta,
+           CAST(lag(yr) OVER (PARTITION BY term ORDER BY yr) AS BIGINT) AS prev_yr
+    FROM m
+    """,
+)
+def entity_timeline_changes(spark, sf_dir):
+    """Temporal-evolution chain: per-entity, per-snapshot mention counts
+    with lag deltas — the query shape of the reference's cross-year
+    timeline (query_test_results.log:12-20) over the documents corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        docs.select(
+            (F.lit(1867) + F.col("doc_id") % 5).alias("yr"),
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .where(F.col("term").isin(GAZ))
+        .groupBy("yr", "term")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    w = Window.partitionBy("term").orderBy("yr")
+    return m.select(
+        "term",
+        F.col("yr").cast("long").alias("yr"),
+        "n_docs",
+        (F.col("n_docs") - F.lag("n_docs").over(w)).cast("long").alias("delta"),
+        F.lag("yr").over(w).cast("long").alias("prev_yr"),
+    )
+
+
+# =====================================================================
 # Flagship: the full KG pipeline itself (non-SQL-expressible -> no oracle;
 # driver records a rows-only check)
 # =====================================================================
@@ -958,9 +1163,10 @@ def kg_pipeline_triples(spark, sf_dir):
     Runs interpreted: whole-stage-codegen compile of the ~50-stage plan is
     ~60s of serial driver time per plan shape (amortizes to zero on a real
     cluster, measured in docs/SCALING.md); for a one-shot correctness run
-    it would dominate. Registered last so the conf change cannot affect
-    other queries in a sequential run."""
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    it would dominate. The conf toggle is scoped with try/finally: the
+    triples are materialized (localCheckpoint) while codegen is off, then
+    the session conf is restored so later queries in the same session plan
+    with their own settings."""
     from . import fixtures
     from .pipeline import run_pipeline
 
@@ -971,7 +1177,18 @@ def kg_pipeline_triples(spark, sf_dir):
         n = 5000
     pages = fixtures.gen_pages(spark, n)
     aliases = fixtures.gen_alias_index(spark)
-    return run_pipeline(spark, pages, aliases)["triples"]
+    key = "spark.sql.codegen.wholeStage"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        # eager localCheckpoint forces execution under the interpreted conf;
+        # the returned DataFrame is plan-free (backed by materialized rows)
+        return run_pipeline(spark, pages, aliases)["triples"].localCheckpoint()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 QUERIES["kg_pipeline_triples"] = kg_pipeline_triples

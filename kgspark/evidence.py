@@ -18,36 +18,43 @@ shrink before you gather.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EVIDENCE_SCHEMA = (
-    "entity_id string, n_mentions bigint, n_pages bigint, "
+    "entity_id string, n_mentions bigint, "
     "top_surfaces array<string>, region_histogram map<string,bigint>, "
     "first_url string, last_url string"
 )
 
 
 def merge_entity_evidence(links: DataFrame, top_k_surfaces: int = 3) -> DataFrame:
-    """links (url, surface, entity_id, ...) -> one evidence row per entity."""
+    """links (url, surface, entity_id, ...) -> one evidence row per entity.
+
+    n_pages is computed on a separate (entity_id, url)-grain pre-reduce:
+    countDistinct is NOT sum-decomposable, so distinct-url counts taken per
+    (entity, surface, region) and then summed would double-count a url that
+    mentions the same entity under two surfaces or regions."""
+    high = links.where(F.col("confidence") == "high")
     pre = (
-        links.where(F.col("confidence") == "high")
-        .withColumn("region", F.coalesce(F.col("admin_region"), F.lit("unknown")))
+        high.withColumn("region", F.coalesce(F.col("admin_region"), F.lit("unknown")))
         .groupBy("entity_id", "surface", "region")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct("url").alias("n_urls"),
             F.min("url").alias("first_url"),
             F.max("url").alias("last_url"),
         )
     )
-
-    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pdf
+    # exact distinct pages per entity: dedup on (entity_id, url) first, then
+    # count — two map-side-combinable shuffles on the same key, no giant
+    # per-group state even for head entities.
+    pages = (
+        high.select("entity_id", "url")
+        .distinct()
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         by_surface = (
@@ -61,7 +68,6 @@ def merge_entity_evidence(links: DataFrame, top_k_surfaces: int = 3) -> DataFram
             {
                 "entity_id": [pdf["entity_id"].iloc[0]],
                 "n_mentions": [int(pdf["n"].sum())],
-                "n_pages": [int(pdf["n_urls"].sum())],
                 "top_surfaces": [top],
                 "region_histogram": [{k: int(v) for k, v in hist.items()}],
                 "first_url": [pdf["first_url"].min()],
@@ -69,4 +75,13 @@ def merge_entity_evidence(links: DataFrame, top_k_surfaces: int = 3) -> DataFram
             }
         )
 
-    return pre.groupBy("entity_id").applyInPandas(merge_group, EVIDENCE_SCHEMA)
+    merged = pre.groupBy("entity_id").applyInPandas(merge_group, EVIDENCE_SCHEMA)
+    return merged.join(pages, "entity_id").select(
+        "entity_id",
+        "n_mentions",
+        "n_pages",
+        "top_surfaces",
+        "region_histogram",
+        "first_url",
+        "last_url",
+    )

@@ -68,7 +68,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim_e6"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
 
@@ -106,7 +106,7 @@ def lsh_bucketed_topk(
         _e6(cosine(F.col(vec_col), F.col(query_vec_col))).alias("cosine_sim_e6"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim_e6"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
 
 
 def embedding_dup_pairs(

@@ -49,8 +49,8 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     return docs.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
         _e6(n_chars / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len_e6"),
         n_subwords.alias("n_subwords"),
     )
@@ -101,7 +101,9 @@ def langid_heuristic(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     # first (alphabetical) language reaching the max wins the tie
     for l in reversed(langs):
         pred = F.when((F.col(f"hits_{l}") == best) & (best > 0), F.lit(l)).otherwise(pred)
-    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.alias("lang_hits"))
+    return scored.select(
+        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("lang_hits")
+    )
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import link as linkmod
+
 
 def resolve_triples(relations: DataFrame, links: DataFrame, resolved_surfaces: DataFrame | None = None) -> DataFrame:
     """relations(url, subj_surface, pred, obj_surface) x links -> id triples.
@@ -50,6 +52,16 @@ def resolve_triples(relations: DataFrame, links: DataFrame, resolved_surfaces: D
             fb = resolved_surfaces.select(
                 F.col("norm_surface").alias(f"{out_col}_norm"),
                 F.col("entity_id").alias(f"{out_col}_fallback"),
+            )
+            # A surface with NO link row at all has a NULL links-derived norm
+            # key; normalize the raw surface so those (the very forms the
+            # recall-recovery path exists for) can still hit the fallback map.
+            df = df.withColumn(
+                f"{out_col}_norm",
+                F.coalesce(
+                    F.col(f"{out_col}_norm"),
+                    linkmod.normalize_surface(F.col(surf_col)),
+                ),
             )
             df = df.join(F.broadcast(fb), f"{out_col}_norm", "left").withColumn(
                 f"{out_col}_id",

@@ -71,7 +71,12 @@ def _uri(col):
 
 def turtle_entity_lines(entities: DataFrame) -> DataFrame:
     """One rdfs:label triple line per entity (literal escaping included)."""
-    esc = F.regexp_replace(F.regexp_replace("canonical_name", r"\\", r"\\\\"), '"', r"\"")
+    # Java replaceAll replacement semantics: backslash escapes the next char,
+    # so the replacement must be the four-char sequence \\" for the output to
+    # contain \" (a bare \" replacement collapses to a literal quote).
+    esc = F.regexp_replace(
+        F.regexp_replace("canonical_name", r"\\", "\\\\\\\\"), '"', '\\\\"'
+    )
     return entities.select(
         F.format_string('%s rdfs:label "%s" .', _uri(F.col("entity_id")), esc).alias("value")
     )

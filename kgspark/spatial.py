@@ -1,0 +1,315 @@
+"""Spatial operator family: geometry columns, grid-cell blocked overlap
+joins, IoU arithmetic, dissolve, borders.
+
+Reference analogs (what, not how):
+- J1 cross-year spatial overlap join with IoU gating
+  (/root/reference/scripts/link_csd_years_spatial_v2.py:100-132,188-264):
+  the reference builds an R-tree (`sindex`) per year and loops rows in
+  pandas; here blocking is a grid-cell equi-join (explode each bbox to the
+  grid cells it covers, join on cell, verify exactly) — the standard
+  distributed spatial-join plan: one shuffle on cell id, no driver loops,
+  no all-pairs.
+- J2 shared-border self-join (/root/reference/scripts/
+  build_neo4j_cidoc_crm.py:218-269): same blocking, contact predicate.
+- A2 geometric dissolve (/root/reference/scripts/build_cd_presences.py:51-60):
+  shapely unary_union per group in the reference; for axis-aligned member
+  geometries the dissolve summary (extent bbox, part count, summed area) is
+  pure built-in aggregation — no UDF, no group bottleneck.
+
+Representation: geometry rides as columns, not objects.
+- ``bbox``: struct<xmin,ymin,xmax,ymax> (doubles) — the blocking key
+  carrier and, for the axis-aligned synthetic fixtures, the exact geometry.
+- WKB: little-endian ISO WKB Polygon <-> bbox codec implemented as
+  Arrow-batched pandas UDFs (numpy byte slicing — no per-row Python), so
+  real-world WKB columns (what an Iceberg gazetteer table would carry) plug
+  into the same operators. General (non-rectangular) rings get exact
+  shoelace areas; exact polygon-polygon intersection would need a geometry
+  lib (GEOS) — not in this container — so overlap verification on general
+  rings falls back to bbox IoU with the swap-in point documented.
+
+Dedup without distinct: a pair of bboxes can share many grid cells. The
+join emits a pair only from the ONE cell containing the intersection's
+lower-left corner ("reference-point" technique), so no post-join
+dropDuplicates shuffle is needed — this is what keeps the plan at exactly
+one shuffle at 10^12 rows.
+
+Exactness for oracles: IoU is emitted in e6 fixed point computed as
+``floor(1e6 * inter / union)`` on products of coordinate differences; with
+integer-valued synthetic coordinates both engines evaluate it bit-identically
+(see duckdb-oracle portability notes).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------------------------------------------------------------------------
+# bbox struct helpers (pure column expressions)
+# ---------------------------------------------------------------------------
+
+BBOX_FIELDS = ("xmin", "ymin", "xmax", "ymax")
+
+
+def bbox_struct(xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:
+    return F.struct(
+        xmin.cast("double").alias("xmin"),
+        ymin.cast("double").alias("ymin"),
+        xmax.cast("double").alias("xmax"),
+        ymax.cast("double").alias("ymax"),
+    )
+
+
+def bbox_area(b: Column) -> Column:
+    return (b["xmax"] - b["xmin"]) * (b["ymax"] - b["ymin"])
+
+
+def bbox_intersection_area(a: Column, b: Column) -> Column:
+    iw = F.least(a["xmax"], b["xmax"]) - F.greatest(a["xmin"], b["xmin"])
+    ih = F.least(a["ymax"], b["ymax"]) - F.greatest(a["ymin"], b["ymin"])
+    return F.greatest(iw, F.lit(0.0)) * F.greatest(ih, F.lit(0.0))
+
+
+def bbox_iou_e6(a: Column, b: Column) -> Column:
+    """floor(1e6 * intersection / union) as BIGINT — exact for integer
+    coordinates, portable across engines (no float rounding at the edge)."""
+    inter = bbox_intersection_area(a, b)
+    union = bbox_area(a) + bbox_area(b) - inter
+    return F.when(union > 0, F.floor(F.lit(1000000.0) * inter / union)).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
+def coverage_fraction_e6(a: Column, b: Column) -> Column:
+    """floor(1e6 * intersection / area(a)): the reference's directional
+    "fraction of the old unit covered by the new unit" gate
+    (link_csd_years_spatial_v2.py:100-132)."""
+    inter = bbox_intersection_area(a, b)
+    area = bbox_area(a)
+    return F.when(area > 0, F.floor(F.lit(1000000.0) * inter / area)).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
+def bboxes_touch(a: Column, b: Column) -> Column:
+    """Edge/corner contact with zero interior overlap — the border predicate
+    for axis-aligned units (reference J2's `touches`)."""
+    iw = F.least(a["xmax"], b["xmax"]) - F.greatest(a["xmin"], b["xmin"])
+    ih = F.least(a["ymax"], b["ymax"]) - F.greatest(a["ymin"], b["ymin"])
+    return (iw >= 0) & (ih >= 0) & ((iw == 0) | (ih == 0))
+
+
+# ---------------------------------------------------------------------------
+# grid-cell blocking
+# ---------------------------------------------------------------------------
+
+
+def grid_cells(b: Column, cell_size: float) -> Column:
+    """Array of "cx:cy" cell ids covered by the bbox. Cell size is the
+    partitioning knob: pick it near the median geometry extent so each bbox
+    covers O(1) cells and each cell holds O(rows/cells) geometries; skewed
+    mega-geometries (a province-sized unit) explode to many cells, which is
+    exactly the replication that keeps their comparisons distributed."""
+    cs = F.lit(float(cell_size))
+    cx = F.sequence(
+        F.floor(b["xmin"] / cs).cast("long"), F.floor(b["xmax"] / cs).cast("long")
+    )
+    cy = F.sequence(
+        F.floor(b["ymin"] / cs).cast("long"), F.floor(b["ymax"] / cs).cast("long")
+    )
+    # cross product of the two ranges via nested transform + flatten
+    return F.flatten(
+        F.transform(
+            cx,
+            lambda x: F.transform(cy, lambda y: F.concat_ws(":", x, y)),
+        )
+    )
+
+
+def _ref_cell(a: Column, b: Column, cell_size: float) -> Column:
+    """Cell id of the intersection's lower-left corner — each intersecting
+    pair has exactly one, so emitting pairs only where the join cell equals
+    it deduplicates without a distinct."""
+    cs = F.lit(float(cell_size))
+    rx = F.floor(F.greatest(a["xmin"], b["xmin"]) / cs).cast("long")
+    ry = F.floor(F.greatest(a["ymin"], b["ymin"]) / cs).cast("long")
+    return F.concat_ws(":", rx, ry)
+
+
+def _blocked_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    cell_size: float,
+    id_col: str,
+    bbox_col: str,
+    self_join: bool,
+) -> DataFrame:
+    """Grid-blocked candidate pairs with reference-point dedup.
+
+    One shuffle (the cell equi-join); the exact predicate is applied by the
+    caller on the verified columns. Filters overlap-or-touch at the bbox
+    level (iw >= 0 and ih >= 0) before anything else."""
+    la = left.select(
+        F.col(id_col).alias("a_id"),
+        F.col(bbox_col).alias("a_bbox"),
+        F.explode(grid_cells(F.col(bbox_col), cell_size)).alias("cell"),
+    )
+    rb = right.select(
+        F.col(id_col).alias("b_id"),
+        F.col(bbox_col).alias("b_bbox"),
+        F.explode(grid_cells(F.col(bbox_col), cell_size)).alias("cell"),
+    )
+    pairs = la.join(rb, "cell")
+    if self_join:
+        pairs = pairs.where(F.col("a_id") < F.col("b_id"))
+    a, b = F.col("a_bbox"), F.col("b_bbox")
+    iw = F.least(a["xmax"], b["xmax"]) - F.greatest(a["xmin"], b["xmin"])
+    ih = F.least(a["ymax"], b["ymax"]) - F.greatest(a["ymin"], b["ymin"])
+    return pairs.where(
+        (iw >= 0)
+        & (ih >= 0)
+        & (F.col("cell") == _ref_cell(a, b, cell_size))
+    )
+
+
+def spatial_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell_size: float = 16.0,
+    iou_threshold_e6: int = 100000,
+    id_col: str = "unit_id",
+    bbox_col: str = "bbox",
+) -> DataFrame:
+    """Cross-snapshot overlap join: (a_id, b_id, iou_e6, a_cover_e6,
+    b_cover_e6) for pairs with IoU >= threshold. Reference J1."""
+    pairs = _blocked_pairs(left, right, cell_size, id_col, bbox_col, self_join=False)
+    a, b = F.col("a_bbox"), F.col("b_bbox")
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            bbox_iou_e6(a, b).alias("iou_e6"),
+            coverage_fraction_e6(a, b).alias("a_cover_e6"),
+            coverage_fraction_e6(b, a).alias("b_cover_e6"),
+        )
+        .where(F.col("iou_e6") >= iou_threshold_e6)
+    )
+
+
+def spatial_borders(
+    units: DataFrame,
+    cell_size: float = 16.0,
+    id_col: str = "unit_id",
+    bbox_col: str = "bbox",
+) -> DataFrame:
+    """Symmetric-deduped self-join on edge contact (reference J2 borders)."""
+    pairs = _blocked_pairs(units, units, cell_size, id_col, bbox_col, self_join=True)
+    return pairs.where(bboxes_touch(F.col("a_bbox"), F.col("b_bbox"))).select(
+        "a_id", "b_id"
+    )
+
+
+def dissolve(
+    units: DataFrame,
+    group_col: str,
+    id_col: str = "unit_id",
+    bbox_col: str = "bbox",
+) -> DataFrame:
+    """Group member units into one parent row: extent bbox, part count,
+    summed member area (exact when members are disjoint, as census units
+    are). Pure built-in aggregation — reference A2 without the per-group
+    shapely bottleneck; a head group costs the same as any other because
+    min/max/sum all combine map-side."""
+    return units.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        bbox_struct(
+            F.min(F.col(bbox_col)["xmin"]),
+            F.min(F.col(bbox_col)["ymin"]),
+            F.max(F.col(bbox_col)["xmax"]),
+            F.max(F.col(bbox_col)["ymax"]),
+        ).alias("extent"),
+        F.sum(bbox_area(F.col(bbox_col))).alias("area_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WKB codec + shoelace area (Arrow-batched; no per-row Python)
+# ---------------------------------------------------------------------------
+
+_WKB_POLYGON = 3
+
+
+def _encode_rect(xmin: float, ymin: float, xmax: float, ymax: float) -> bytes:
+    ring = [
+        (xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)
+    ]
+    out = struct.pack("<BII", 1, _WKB_POLYGON, 1) + struct.pack("<I", len(ring))
+    for x, y in ring:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+# DataType objects (not DDL strings): string DDL is parsed against the
+# active session, which need not exist at import time.
+@pandas_udf(T.BinaryType())
+def rect_to_wkb(
+    xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            _encode_rect(a, b, c, d)
+            for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+        ]
+    )
+
+
+def _parse_wkb(buf: bytes) -> tuple[float, float, float, float, float]:
+    """(xmin, ymin, xmax, ymax, shoelace_area) of the first (outer) ring.
+    Little-endian ISO WKB Polygon only — the shape our sinks emit and the
+    common case in parquet gazetteers."""
+    byte_order, geom_type, n_rings = struct.unpack_from("<BII", buf, 0)
+    if byte_order != 1 or geom_type != _WKB_POLYGON or n_rings < 1:
+        raise ValueError("unsupported WKB (need little-endian Polygon)")
+    (n_pts,) = struct.unpack_from("<I", buf, 9)
+    coords = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=13).reshape(
+        n_pts, 2
+    )
+    x, y = coords[:, 0], coords[:, 1]
+    # shoelace over the closed ring (exact for any simple polygon)
+    area = 0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
+    return float(x.min()), float(y.min()), float(x.max()), float(y.max()), area
+
+
+@pandas_udf(
+    T.StructType(
+        [T.StructField(f, T.DoubleType()) for f in ("xmin", "ymin", "xmax", "ymax", "area")]
+    )
+)
+def wkb_summary(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for s in it:
+        rows = [_parse_wkb(b) for b in s]
+        yield pd.DataFrame(
+            rows, columns=["xmin", "ymin", "xmax", "ymax", "area"]
+        )
+
+
+def with_wkb_geometry(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
+    """Attach bbox struct + exact ring area parsed from a WKB column —
+    the entry point for real gazetteer tables. Downstream operators
+    (overlap join, borders, dissolve) consume only the bbox struct."""
+    parsed = df.withColumn("_g", wkb_summary(F.col(wkb_col)))
+    return parsed.select(
+        "*",
+        bbox_struct(
+            F.col("_g.xmin"), F.col("_g.ymin"), F.col("_g.xmax"), F.col("_g.ymax")
+        ).alias("bbox"),
+        F.col("_g.area").alias("ring_area"),
+    ).drop("_g")

@@ -40,12 +40,15 @@ def stream_mention_counts(
 ) -> DataFrame:
     """Streaming tumbling-window mention counters with late-data watermark.
 
-    Per-URL dedup uses dropDuplicates within the watermark (exactly the
-    SURVEY §2.11 mapping: per-URL dedup = dropDuplicates + watermark on
-    warc_ts)."""
+    Per-URL dedup uses dropDuplicatesWithinWatermark: plain
+    dropDuplicates(["url"]) never evicts its state (Spark only cleans
+    streaming dedup state when the event-time column is part of the key),
+    so per-URL state would grow without bound in a long-running query.
+    The WithinWatermark variant evicts entries once they age past the
+    watermark — bounded state, at-most-once per url within the window."""
     toks = (
         pages_stream.withWatermark("warc_ts", watermark)
-        .dropDuplicates(["url"])
+        .dropDuplicatesWithinWatermark(["url"])
         .withColumn("text2", F.coalesce(F.col("text"), extract_text_udf(F.col("html"))))
         .select("warc_ts", F.explode(F.split(F.lower("text2"), r"\s+")).alias("term"))
         .where(F.col("term").isin([g.lower() for g in gazetteer]))

@@ -49,6 +49,23 @@ def test_year_timespan_and_point(spark):
     assert math.isclose(row["lon"], -75.69) and math.isclose(row["lat"], 45.42)
 
 
+def test_evidence_n_pages_distinct_urls(spark):
+    # countDistinct is not sum-decomposable: a url mentioning the same
+    # entity under two surfaces (or regions) must count as ONE page.
+    links = spark.createDataFrame(
+        [
+            ("u1", "Canada", "E1", "high", "on"),
+            ("u1", "Dominion of Canada", "E1", "high", "qc"),
+            ("u2", "Canada", "E1", "high", "on"),
+            ("u3", "Canada", "E1", "low", "on"),  # low-confidence: excluded
+        ],
+        "url string, surface string, entity_id string, confidence string, admin_region string",
+    )
+    row = evidence.merge_entity_evidence(links).collect()[0]
+    assert row["n_pages"] == 2
+    assert row["n_mentions"] == 3
+
+
 def test_evidence_merge(spark):
     out = run_pipeline(spark, fixtures.gen_pages(spark, 150), fixtures.gen_alias_index(spark))
     ev = evidence.merge_entity_evidence(out["links"])

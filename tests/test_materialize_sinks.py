@@ -28,6 +28,18 @@ def test_neo4j_bulk_and_turtle_roundtrip(tmp_path, spark):
     assert bad == 0
 
 
+def test_turtle_quote_escaping(spark):
+    # Java replaceAll replacement rules make naive '\"' a no-op; valid
+    # Turtle requires embedded quotes emitted as \" and backslashes as \\.
+    ents = spark.createDataFrame(
+        [("E1", 'John "Johnny" Macdonald'), ("E2", "back\\slash")],
+        "entity_id string, canonical_name string",
+    )
+    lines = {r[0] for r in sinks.turtle_entity_lines(ents).collect()}
+    assert 'kg:E1 rdfs:label "John \\"Johnny\\" Macdonald" .' in lines
+    assert 'kg:E2 rdfs:label "back\\\\slash" .' in lines
+
+
 def test_turtle_literal_inference(spark):
     df = spark.createDataFrame([("42",), ("3.14",), ("abc",)], "v string")
     got = [r[0] for r in df.select(sinks.turtle_literal("v")).collect()]

@@ -35,11 +35,60 @@ def norm_cell(v):
     return str(v)
 
 
-def compare(name, spark_df, duck_rows, duck_cols):
+def _spark_type_str(dt):
+    """Canonical type string for a Spark DataType, arrow-flavoured so it can
+    be compared against DuckDB's arrow result schema."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    return {
+        T.LongType: "int64", T.IntegerType: "int32", T.ShortType: "int16",
+        T.ByteType: "int8", T.DoubleType: "double", T.FloatType: "float",
+        T.StringType: "string", T.BooleanType: "bool", T.DateType: "date",
+        T.TimestampType: "timestamp", T.TimestampNTZType: "timestamp",
+        T.BinaryType: "binary",
+    }.get(type(dt), dt.simpleString())
+
+
+def _arrow_type_str(at):
+    import pyarrow as pa
+
+    if pa.types.is_decimal(at):
+        return f"decimal({at.precision},{at.scale})"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_large_string(at) or pa.types.is_string(at):
+        return "string"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_large_binary(at) or pa.types.is_binary(at):
+        return "binary"
+    return str(at)
+
+
+def compare(name, spark_df, duck_rows, duck_cols, duck_arrow_schema=None):
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
     if s_cols != d_cols:
         return f"SCHEMA MISMATCH spark={s_cols} duck={d_cols}"
+    # Type-strict compare: the driver hashes TYPED values, so a value-identical
+    # result with a widened aggregate type (DuckDB HUGEINT / DECIMAL(38,2) vs
+    # Spark bigint / decimal(28,2)) still fails its gate. Surface that here.
+    if duck_arrow_schema is not None:
+        s_types = {f.name: _spark_type_str(f.dataType) for f in spark_df.schema.fields}
+        d_types = {
+            f.name: _arrow_type_str(f.type) for f in duck_arrow_schema
+        }
+        bad = {
+            c: (s_types[c], d_types[c])
+            for c in s_cols
+            if s_types[c] != d_types[c]
+        }
+        if bad:
+            return f"TYPE MISMATCH (spark,duck): {bad}"
     s_rows = spark_df.collect()
     if len(s_rows) != len(duck_rows):
         return f"ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(duck_rows)}"
@@ -84,10 +133,12 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            res = con.execute(ORACLES[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
-            err = compare(name, sdf, duck_rows, duck_cols)
+            duck_arrow = con.execute(ORACLES[name]).arrow()
+            duck_cols = duck_arrow.column_names
+            duck_rows = [
+                tuple(r[c] for c in duck_cols) for r in duck_arrow.to_pylist()
+            ]
+            err = compare(name, sdf, duck_rows, duck_cols, duck_arrow.schema)
             if err:
                 print(f"{name:35s} FAIL {err}")
                 n_fail += 1
