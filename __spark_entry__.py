@@ -22,7 +22,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from kgspark.entry_queries import kg_pipeline_triples
 
-    return kg_pipeline_triples(spark, "/root/testdata/sf0.001")  # sets codegen interpreted (see its docstring)
+    # runs interpreted internally and restores session conf (see docstring)
+    return kg_pipeline_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -944,6 +944,52 @@ def ann_lsh_bucketed(spark, sf_dir):
     return simsearch.lsh_bucketed_topk(emb, queries, k=5)
 
 
+# Banded SRP (the scale path; see ops/simsearch.py). The hyperplane
+# constants are generated once here and embedded in BOTH the Spark plan and
+# the oracle SQL, term-for-term in the same association order, so the float
+# sign tests agree bit-for-bit.
+_SRP_PLANES = simsearch.srp_hyperplanes(n_bits=16, dim=64, nnz=8, seed=42)
+_SRP_BK_SQL = "\n      UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, "
+    f"{simsearch.srp_band_sql(_SRP_PLANES, b, 4, 'embedding')} AS bucket "
+    "FROM embeddings"
+    for b in range(4)
+)
+
+
+@q(
+    "ann_lsh_banded",
+    f"""
+    WITH bk AS (
+      {_SRP_BK_SQL}
+    ), cand AS (
+      SELECT DISTINCT v.vec_id AS vec_id, w.vec_id AS query_id
+      FROM bk v JOIN bk w ON v.band = w.band AND v.bucket = w.bucket
+      WHERE w.vec_id < 5 AND v.vec_id <> w.vec_id
+    ), scored AS (
+      SELECT c.query_id, c.vec_id, {_COS_E6} AS cosine_sim_e6
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.vec_id
+      JOIN embeddings q ON q.vec_id = c.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim_e6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_lsh_banded(spark, sf_dir):
+    """Banded-SRP ANN: 16 sparse hyperplane bits x 4 bands — the multi-table
+    LSH that replaces the 16-bucket variant at 10^9 vectors (per-band
+    fan-out bounded by 2^band_bits; recall from band count)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.lsh_banded_topk(emb, queries, k=5, n_bits=16, band_bits=4)
+
+
 @q(
     "dedup_embedding_cosine",
     f"""
@@ -1151,6 +1197,35 @@ def entity_timeline_changes(spark, sf_dir):
     )
 
 
+@q(
+    "provenance_entities_docs",
+    """
+    WITH d AS (
+      SELECT source, count(*) AS n_mentions FROM documents GROUP BY source
+    )
+    SELECT 'SRC_' || source AS entity_id, 'web_source' AS entity_type,
+           source AS canonical_name, n_mentions FROM d
+    UNION ALL
+    SELECT 'PUB_' || source, 'publisher', source, n_mentions FROM d
+    UNION ALL
+    SELECT 'RGT_' || source, 'rights',
+           'implied-copyright:' || source, n_mentions FROM d
+    """,
+)
+def provenance_entities_docs(spark, sf_dir):
+    """Provenance dimension fan-out (reference build_provenance_entities.py:
+    21-259) over the documents table: one source/publisher/rights row per
+    source — the oracle-checkable face of kgspark/provenance.py."""
+    from . import provenance
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("x").alias("subj"),
+        F.col("source").alias("src_url"),  # plain token: domain == itself
+    )
+    return provenance.provenance_entities(docs)
+
+
 # =====================================================================
 # Flagship: the full KG pipeline itself (non-SQL-expressible -> no oracle;
 # driver records a rows-only check)
@@ -1182,8 +1257,14 @@ def kg_pipeline_triples(spark, sf_dir):
     spark.conf.set(key, "false")
     try:
         # eager localCheckpoint forces execution under the interpreted conf;
-        # the returned DataFrame is plan-free (backed by materialized rows)
-        return run_pipeline(spark, pages, aliases)["triples"].localCheckpoint()
+        # the returned DataFrame is plan-free (backed by materialized rows).
+        # `out` stays referenced until the job finishes: dropping the stage
+        # dict mid-job lets the ContextCleaner deregister intermediate
+        # accumulators while tasks still report to them (log-noise storm).
+        out = run_pipeline(spark, pages, aliases)
+        triples = out["triples"].localCheckpoint()
+        del out
+        return triples
     finally:
         if prior is None:
             spark.conf.unset(key)

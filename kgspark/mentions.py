@@ -15,9 +15,11 @@ features (admin regions present) used by link scoring. One pass = the text is
 decoded and scanned once (SURVEY.md §7.2 M4: "same vectorized UDF pass").
 
 Scale: no shuffle here — annotation is map-only, Arrow-batched. The
-gazetteer alternation is fine for O(10^4) aliases; at O(10^6+) aliases the
-drop-in upgrade is an Aho-Corasick automaton built once per executor from a
-broadcast variable (same UDF signature, no plan change).
+gazetteer scan auto-switches strategy on vocabulary size: alternation regex
+below AC_THRESHOLD aliases (C-speed for small vocabularies), Aho-Corasick
+automaton above it (ac.py — O(text) per page at ANY vocabulary size, built
+once per executor and cached). Both produce identical leftmost-longest
+non-overlapping word-boundary matches (pinned by test).
 """
 
 from __future__ import annotations
@@ -58,17 +60,39 @@ ANNOTATION_SCHEMA = (
 )
 
 
-def _build_scanner(gazetteer: list[str], regions: list[str]):
-    """Compile the scan regexes once per executor process."""
-    gaz_sorted = sorted(set(gazetteer), key=len, reverse=True)
-    gaz_re = re.compile(r"\b(" + "|".join(re.escape(g) for g in gaz_sorted) + r")\b")
+# above this many aliases, the alternation regex's per-position alternative
+# scan loses to the Aho-Corasick automaton's O(1) transition
+AC_THRESHOLD = 2048
+
+
+def _build_scanner(gazetteer: list[str], regions: list[str], use_ac: bool | None = None):
+    """Compile the scan machinery once per executor process."""
+    if use_ac is None:
+        use_ac = len(set(gazetteer)) > AC_THRESHOLD
+    if use_ac:
+        from .ac import automaton
+
+        ac = automaton(sorted(set(gazetteer)))
+
+        def gaz_scan(text: str) -> set[str]:
+            return {text[s:e] for s, e in ac.scan(text)}
+
+    else:
+        gaz_sorted = sorted(set(gazetteer), key=len, reverse=True)
+        gaz_re = re.compile(
+            r"\b(" + "|".join(re.escape(g) for g in gaz_sorted) + r")\b"
+        )
+
+        def gaz_scan(text: str) -> set[str]:
+            return {m.group(1) for m in gaz_re.finditer(text)}
+
     region_res = [(r, re.compile(r"\b" + re.escape(r) + r"\b")) for r in set(regions)]
     rel_res = [(p, re.compile(rx)) for p, rx in _REL_PATTERNS]
 
     def scan_text(text: str):
         if not text:
             return [], [], []
-        gaz_hits = {m.group(1) for m in gaz_re.finditer(text)}
+        gaz_hits = gaz_scan(text)
         mentions = [{"surface": s, "kind": "gazetteer"} for s in sorted(gaz_hits)]
         relations = []
         rel_args = set()

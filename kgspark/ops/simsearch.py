@@ -19,6 +19,9 @@ Arrow transfer entirely.
 
 from __future__ import annotations
 
+import hashlib
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -107,6 +110,175 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim_e6"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Banded SRP — the 10^9-vector scale path.
+#
+# The fixed-dims srp_bucket above gives 2^len(dims) buckets total; at a
+# billion rows a 16-bucket self-join is ~N^2/16 — a cartesian bomb. Banded
+# SRP is the same shape as MinHash-LSH banding: n_bits sign-projection bits
+# split into bands of band_bits; each row lands in one bucket PER BAND
+# (2^band_bits values x n_bands tables), candidates are pairs sharing any
+# band bucket. Collision probability per band is (1 - theta/pi)^band_bits
+# (theta = angle), so near-neighbors survive while the candidate count per
+# bucket drops geometrically with band_bits.
+#
+# Hyperplanes are SPARSE +-1 projections (Achlioptas-style), with the
+# (dim, sign) pattern drawn from md5 of (seed, bit, i) — deterministic,
+# library-free, and cheap enough to embed as literals in an oracle SQL
+# string. All per-row math stays JVM-side (element_at chains).
+# ---------------------------------------------------------------------------
+
+
+def srp_hyperplanes(
+    n_bits: int, dim: int, nnz: int = 8, seed: int = 42
+) -> list[list[tuple[int, float]]]:
+    """n_bits sparse hyperplanes over `dim` dims: nnz distinct (dim, +-1.0)
+    pairs each, derived from md5 so every engine/run agrees."""
+    planes: list[list[tuple[int, float]]] = []
+    for j in range(n_bits):
+        pairs: dict[int, float] = {}
+        i = 0
+        while len(pairs) < min(nnz, dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            d = int(h[:8], 16) % dim
+            if d not in pairs:
+                pairs[d] = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+            i += 1
+        planes.append(list(pairs.items()))
+    return planes
+
+
+def _bit_expr(vec_col: str, plane: list[tuple[int, float]]):
+    proj = reduce(
+        lambda acc, t: acc + t,
+        [
+            F.lit(s) * F.element_at(F.col(vec_col), d + 1).cast("double")
+            for d, s in plane
+        ],
+    )
+    return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def srp_band_buckets(
+    vec_col: str,
+    planes: list[list[tuple[int, float]]],
+    band_bits: int = 4,
+):
+    """Array column: one bucket id per band (bits packed little-endian)."""
+    n_bands = len(planes) // band_bits
+    bands = []
+    for b in range(n_bands):
+        v = F.lit(0)
+        for i in range(band_bits):
+            v = v + _bit_expr(vec_col, planes[b * band_bits + i]) * F.lit(1 << i)
+        bands.append(v.cast("int"))
+    return F.array(*bands)
+
+
+def srp_bit_sql(plane: list[list[tuple[int, float]]], vec_expr: str) -> str:
+    proj = " + ".join(f"{s:+.1f} * CAST({vec_expr}[{d + 1}] AS DOUBLE)" for d, s in plane)
+    return f"(CASE WHEN ({proj}) > 0 THEN 1 ELSE 0 END)"
+
+
+def srp_band_sql(
+    planes: list[list[tuple[int, float]]], band: int, band_bits: int, vec_expr: str
+) -> str:
+    """DuckDB expression for one band's bucket id — mirrors srp_band_buckets
+    term-for-term (same association order) so float comparisons agree."""
+    bits = [
+        f"{srp_bit_sql(planes[band * band_bits + i], vec_expr)} * {1 << i}"
+        for i in range(band_bits)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _banded_candidates(
+    vectors: DataFrame,
+    planes: list[list[tuple[int, float]]],
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, band, bucket) — exploded banded index; the equi-join key table."""
+    return vectors.select(
+        F.col(id_col),
+        F.posexplode(srp_band_buckets(vec_col, planes, band_bits)).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def lsh_banded_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    nnz: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k with banded-SRP candidate generation: a vector is a
+    candidate if it shares ANY band bucket with the query. One equi-join on
+    (band, bucket) + a pair-distinct; recall rises with n_bands while
+    per-bucket join fan-out stays 2^band_bits-bounded."""
+    planes = srp_hyperplanes(n_bits, dim, nnz, seed)
+    vb = _banded_candidates(vectors, planes, band_bits, id_col, vec_col)
+    qb = _banded_candidates(queries, planes, band_bits, query_id_col, query_vec_col)
+    cand = (
+        vb.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(id_col, query_id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(vectors, id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _e6(cosine(F.col(vec_col), F.col(query_vec_col))).alias("cosine_sim_e6"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim_e6"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
+
+
+def embedding_dup_pairs_banded(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    nnz: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via banded-SRP self-join — the scale-safe
+    replacement for the 16-bucket embedding_dup_pairs: per-band buckets
+    bound the self-join fan-out, multiple bands keep recall."""
+    planes = srp_hyperplanes(n_bits, dim, nnz, seed)
+    idx = _banded_candidates(vectors, planes, band_bits, id_col, vec_col)
+    a = idx.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = idx.select(F.col(id_col).alias("b"), "band", "bucket")
+    pairs = a.join(b, ["band", "bucket"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb_ = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb_, "b")
+        .select("a", "b", _e6(cosine(F.col("va"), F.col("vb"))).alias("cosine_sim_e6"))
+        .where(F.col("cosine_sim_e6") >= int(threshold * 1000000))
+    )
 
 
 def embedding_dup_pairs(

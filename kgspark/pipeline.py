@@ -17,6 +17,8 @@ from . import canonicalize as canon
 from . import link as linkmod
 from . import materialize as mat
 from . import metrics
+from . import provenance as prov
+from . import temporal
 from .extract import with_extracted_text
 from .io import CheckpointRegistry
 from .mentions import annotate_pages, explode_mentions, explode_relations
@@ -105,8 +107,26 @@ def run_pipeline(
             metrics.lineage_rows(triples, "triples", "subj")
         ),
     )
+    # Derived dimensions are built LAZILY (first dict access): their
+    # construction triggers eager Catalyst analysis (unionByName resolves
+    # schemas immediately) over the full pipeline tree — measured ~5s of
+    # driver time per run — which consumers that only want `triples`
+    # should not pay.
+    lazy_builders = {
+        "prov_entities": lambda: ck(
+            "prov_entities", lambda: prov.provenance_entities(triples)
+        ),
+        "prov_edges": lambda: ck("prov_edges", lambda: prov.provenance_edges(triples)),
+        "entity_snapshots": lambda: ck(
+            "entity_snapshots", lambda: temporal.entity_snapshots(links, pages)
+        ),
+        "entity_timeline": lambda: ck(
+            "entity_timeline",
+            lambda: temporal.entity_timeline(temporal.entity_snapshots(links, pages)),
+        ),
+    }
 
-    return {
+    return _LazyStages(lazy_builders, {
         "extracted": extracted,
         "annotated": annotated,
         "mentions": mentions,
@@ -121,4 +141,24 @@ def run_pipeline(
         "entities": entities,
         "edges": edges_all,
         "lineage": lineage,
-    }
+    })
+
+
+class _LazyStages(dict):
+    """Stage dict whose derived entries build on first access."""
+
+    def __init__(self, builders, eager):
+        super().__init__(eager)
+        self._builders = builders
+
+    def __getitem__(self, key):
+        if not super().__contains__(key) and key in self._builders:
+            self[key] = self._builders[key]()
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or key in self._builders
+
+    def keys(self):  # noqa: A003 - dict interface
+        built = list(dict.keys(self))
+        return built + [k for k in self._builders if k not in set(built)]

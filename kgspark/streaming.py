@@ -69,6 +69,9 @@ def run_stream_to_memory(spark: SparkSession, counts: DataFrame, name: str = "me
     )
 
 
+_TRIPLE_KEY = ["subj", "pred", "obj", "src_url"]
+
+
 def incremental_ingest(
     spark: SparkSession,
     pages: DataFrame,
@@ -77,19 +80,63 @@ def incremental_ingest(
     since_ts: str | None = None,
 ) -> DataFrame:
     """Incremental batch: run the pipeline on pages newer than since_ts and
-    append-dedup into the triple store (idempotent keyed upsert — the
-    semantics of the reference's MATCH..CREATE import, import_1911_to_neo4j
-    .py:22-192, and of Iceberg MERGE INTO)."""
+    MERGE the result into the pred-partitioned triple store (idempotent
+    keyed upsert — the semantics of the reference's MATCH..CREATE import,
+    import_1911_to_neo4j.py:22-192, and of Iceberg MERGE INTO).
+
+    Partition-scoped: only the `pred` partitions present in the new batch
+    are read back and rewritten (dynamic partition overwrite); untouched
+    partitions' files are not touched. The predicate vocabulary is tiny and
+    fixed (the north-rule relation set), so an increment costs
+    O(touched partitions + batch), not O(store) — the scale-safe fix for
+    the full-store rewrite this function used to do."""
     from .pipeline import run_pipeline
 
     batch = pages if since_ts is None else pages.where(F.col("warc_ts") > F.lit(since_ts))
-    new_triples = run_pipeline(spark, batch, alias_index)["triples"]
+    # materialize: the merged plan below must not re-run the pipeline, and
+    # the write below must not race a lazy scan of the dir being replaced
+    new_triples = run_pipeline(spark, batch, alias_index)["triples"].localCheckpoint()
+    return merge_triples(spark, new_triples, triple_store_dir)
+
+
+def merge_triples(
+    spark: SparkSession, new_triples: DataFrame, triple_store_dir: str
+) -> DataFrame:
+    """Partition-scoped keyed upsert of triples into the pred-partitioned
+    store. Only the pred partitions present in `new_triples` are read back,
+    deduped against, and dynamically overwritten."""
+
+    def read_store() -> DataFrame:
+        # drop any cached file listing for this path: the dynamic overwrite
+        # below deletes files that a session-global FileStatusCache entry
+        # may still reference
+        spark.catalog.refreshByPath(triple_store_dir)
+        return spark.read.parquet(triple_store_dir)
+
     try:
-        existing = spark.read.parquet(triple_store_dir)
-        merged = existing.unionByName(new_triples).dropDuplicates(
-            ["subj", "pred", "obj", "src_url"]
-        )
-    except Exception:
-        merged = new_triples
-    merged.localCheckpoint().write.mode("overwrite").parquet(triple_store_dir)
-    return spark.read.parquet(triple_store_dir)
+        existing_all = read_store()
+        existing_all.schema  # force resolution: missing dir raises here
+    except Exception:  # first ingest: no store yet
+        new_triples.write.mode("overwrite").partitionBy("pred").parquet(triple_store_dir)
+        return read_store()
+
+    # bounded collect: distinct predicates (relation vocabulary, ~10s)
+    touched = [r["pred"] for r in new_triples.select("pred").distinct().collect()]
+    if not touched:
+        return read_store()
+    existing = existing_all.where(F.col("pred").isin(touched))
+    merged = existing.unionByName(new_triples.where(F.col("pred").isin(touched)))
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        merged.dropDuplicates(_TRIPLE_KEY).localCheckpoint().write.mode(
+            "overwrite"
+        ).partitionBy("pred").parquet(triple_store_dir)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    return read_store()

@@ -71,3 +71,50 @@ def test_normalize_surface(spark):
     df = spark.createDataFrame([("  Sir  John A. Macdonald. ",), ("OTTAWA",)], "s string")
     out = [r[0] for r in df.select(linkmod.normalize_surface(F.col("s"))).collect()]
     assert out == ["sir john a. macdonald", "ottawa"]
+
+
+def test_aho_corasick_matches_regex_semantics():
+    """AC scanner output must equal the alternation-regex scanner output —
+    leftmost-longest, non-overlapping, word-boundary — on adversarial
+    vocabularies (nested/overlapping aliases, boundary traps)."""
+    import random
+    import re
+
+    from kgspark.ac import automaton
+
+    vocab = [
+        "York", "New York", "New York City", "Fort", "Fort York",
+        "Canada", "Upper Canada", "ada", "per Can", "A", "A. Macdonald",
+        "Treaty 7", "7",
+    ]
+    texts = [
+        "He left New York City for Fort York in Upper Canada.",
+        "Canada borders Canadaland but not xCanada or Canada2.",
+        "A. Macdonald signed Treaty 7. A said 7 was enough.",
+        "per Canada? New York-bound. FortYork Fort  York.",
+        "",
+        "YorkYork York York",
+    ]
+    rng = random.Random(3)
+    words = ["York", "New", "Fort", "Canada", "Upper", "the", "x", "7", "A."]
+    for _ in range(30):
+        texts.append(" ".join(rng.choice(words) for _ in range(rng.randint(1, 40))))
+
+    gaz_sorted = sorted(set(vocab), key=len, reverse=True)
+    rx = re.compile(r"\b(" + "|".join(re.escape(g) for g in gaz_sorted) + r")\b")
+    ac = automaton(vocab)
+    for t in texts:
+        want = [(m.start(), m.end()) for m in rx.finditer(t)]
+        got = ac.scan(t)
+        assert got == want, (t, got, want)
+
+
+def test_scanner_ac_and_regex_paths_agree():
+    from kgspark.mentions import _build_scanner
+
+    gaz = ["Canada", "Ottawa", "Upper Canada", "Treaty 7"]
+    regions = ["on", "qc"]
+    text = "Upper Canada and Ottawa. Canada signed Treaty 7."
+    m1 = _build_scanner(gaz, regions, use_ac=False)(text)
+    m2 = _build_scanner(gaz, regions, use_ac=True)(text)
+    assert m1 == m2

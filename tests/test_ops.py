@@ -105,6 +105,77 @@ def test_embedding_dup_pairs(spark):
     assert {(r["a"], r["b"]) for r in out} == {(1, 2)}
 
 
+def _testdata_embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_banded_srp_recall_vs_brute_force(spark):
+    """Banded SRP must recover most true top-5 neighbors on the real
+    embedding fixture — the recall contract of the scale path. The fixture
+    vectors are near-random (true neighbors sit at mid cosine, the hardest
+    regime for SRP), so this uses the 8-band (32-bit) configuration;
+    measured recalls: 4 bands 0.42, 6 bands 0.58, 8 bands 0.68."""
+    emb = _testdata_embeddings(spark)
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.lsh_banded_topk(emb, q, k=5, n_bits=32, band_bits=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, recall
+
+
+def test_banded_more_bands_higher_recall(spark):
+    emb = _testdata_embeddings(spark)
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(n_bits, band_bits):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in simsearch.lsh_banded_topk(
+                emb, q, k=5, n_bits=n_bits, band_bits=band_bits
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    assert recall(24, 4) >= recall(8, 4) - 1e-9  # 6 bands >= 2 bands
+
+
+def test_banded_dup_pairs_superset_recall(spark):
+    """Every >=0.99-cosine pair that brute force finds must be found by the
+    banded self-join at these parameters on the fixture (high-sim pairs
+    collide in some band with overwhelming probability)."""
+    emb = _testdata_embeddings(spark).limit(200)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", simsearch._e6(simsearch.cosine(F.col("va"), F.col("vb"))).alias("c"))
+        .where(F.col("c") >= 990000)
+    )
+    want = {(r["a"], r["b"]) for r in brute.collect()}
+    got = {
+        (r["a"], r["b"])
+        for r in simsearch.embedding_dup_pairs_banded(
+            emb, threshold=0.99, n_bits=16, band_bits=4
+        ).collect()
+    }
+    assert want <= got
+
+
 def test_multimodal_decode_plumbing(spark):
     media = multimodal.gen_media_fixture(spark, 30)
     decoded = multimodal.decode_images(media.where("kind = 'image'"))

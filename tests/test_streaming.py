@@ -47,3 +47,52 @@ def test_incremental_ingest_idempotent(tmp_path, spark):
     more = fixtures.gen_pages(spark, 160)
     third = streaming.incremental_ingest(spark, more, aliases, store)
     assert third.count() > n1
+
+
+def test_incremental_ingest_partition_scoped(tmp_path, spark):
+    """An increment that only carries some predicates must leave the other
+    pred partitions' files byte-identical (partition-scoped MERGE, not a
+    full-store rewrite)."""
+    import hashlib
+    from pathlib import Path
+
+    store = str(tmp_path / "triples")
+    aliases = fixtures.gen_alias_index(spark)
+    pages = fixtures.gen_pages(spark, 80)
+    first = streaming.incremental_ingest(spark, pages, aliases, store)
+    n_first = first.count()  # count BEFORE later merges rewrite the files
+    preds = {r["pred"] for r in first.select("pred").distinct().collect()}
+    assert len(preds) > 1  # pred-partitioned store with several partitions
+
+    def files_digest(pred):
+        d = Path(store) / f"pred={pred}"
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(d.glob("*.parquet"))
+        }
+
+    before = {p: files_digest(p) for p in preds}
+
+    # empty increment: touches nothing at all
+    streaming.merge_triples(
+        spark, first.limit(0).localCheckpoint(), store
+    )
+    assert {p: files_digest(p) for p in preds} == before
+
+    # single-pred increment: only that partition's files may change
+    pick = sorted(preds)[0]
+    one = spark.createDataFrame(
+        [("X_new", pick, "Y_new", "http://example.test/new")],
+        "subj string, pred string, obj string, src_url string",
+    )
+    merged = streaming.merge_triples(spark, one, store)
+    n_merged = merged.count()  # before the idempotency re-merge rewrites files
+    assert n_merged == n_first + 1
+    after = {p: files_digest(p) for p in preds}
+    for p in preds - {pick}:
+        assert after[p] == before[p], f"untouched partition {p} was rewritten"
+    assert after[pick] != before[pick]
+
+    # idempotent: merging the same row again changes nothing anywhere
+    again = streaming.merge_triples(spark, one, store)
+    assert again.count() == n_merged

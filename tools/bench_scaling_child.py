@@ -54,6 +54,16 @@ def sentinel_sec(n_procs: int) -> float:
     return best
 
 
+def read_steal_ticks() -> int:
+    """Hypervisor steal ticks from /proc/stat (field 8 of the cpu line).
+    Unlike the sentinel (a point-in-time probe), the before/after delta
+    covers the WHOLE timed run — a mid-run steal burst is visible here and
+    in nothing else."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[8])
+
+
 def main() -> None:
     master = sys.argv[1]
     n_pages = int(sys.argv[2])
@@ -81,14 +91,17 @@ def main() -> None:
     unpersist_all(spark)
 
     m = re.match(r"local\[(\d+)\]", master)
-    s = sentinel_sec(int(m.group(1)) if m else 2)
+    n_threads = int(m.group(1)) if m else 2
+    s = sentinel_sec(n_threads)
 
+    st0 = read_steal_ticks()
     t0 = time.time()
     out = run_pipeline(
         spark, fixtures.gen_pages(spark, n_pages), fixtures.gen_alias_index(spark)
     )
     n_triples = out["triples"].count()
     dt = time.time() - t0
+    steal_core_sec = (read_steal_ticks() - st0) / 100.0
 
     print(
         json.dumps(
@@ -98,6 +111,9 @@ def main() -> None:
                 "triples": n_triples,
                 "dt_sec": round(dt, 2),
                 "sentinel_sec": round(s, 3),
+                "steal_core_sec": round(steal_core_sec, 1),
+                # steal as a fraction of the core-time this run needed
+                "steal_frac": round(steal_core_sec / (dt * n_threads), 3),
             }
         )
     )
