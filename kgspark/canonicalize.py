@@ -210,6 +210,7 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
+                F.col("component").alias("prev_component"),
             )
             # step 2 — pointer doubling: component(v) := component(component(v)).
             # Neighbor-min alone moves labels one hop per round (O(diameter) —
@@ -223,16 +224,22 @@ def connected_components(
                 F.least(F.coalesce("grand", "component"), F.col("component")).alias(
                     "component"
                 ),
+                "prev_component",
             )
-            new_labels = doubled.localCheckpoint()  # cut lineage per frontier
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            # ONE job per iteration: the previous label rides through the
+            # frontier (no extra join against the old labels), and the lazy
+            # localCheckpoint materializes inside the convergence count.
+            # (Separate checkpoint + join-count jobs doubled the
+            # per-iteration driver floor — the serial cost the scaling
+            # bench actually measures.)
+            new_labels = doubled.localCheckpoint(eager=False)
+            # full count (no limit-1 short circuit): the count job must touch
+            # every partition so the lazy checkpoint fully materializes
+            # before the next iteration builds on it
+            changed = new_labels.where(
+                F.col("component") != F.col("prev_component")
+            ).count()
+            labels = new_labels.select("node", "component")
             if changed == 0:
                 converged = True
                 break

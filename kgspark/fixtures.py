@@ -89,6 +89,32 @@ _FILLER = [
     "Settlers arrived in growing numbers each spring.",
 ]
 
+# Lowercase-only lexicon for page-bulk filler: no capitalized token can
+# start a SPAN_RE span, match a gazetteer alias, or complete a relation
+# template, so ANY amount of this filler leaves the golden mention/triple
+# sets byte-for-byte unchanged — it only makes the page realistically heavy.
+_BULK_WORDS = (
+    "the of and to in that was for with as on by were from at which had "
+    "their settlers grain timber harvest river winter spring letters "
+    "council ledger parish township survey freight station mill road "
+    "market price wheat cattle harbour vessel cargo spoke wrote noted "
+    "meeting record local early later where through during between"
+).split()
+
+
+def _bulk_paragraphs(rng: random.Random, n_words: int) -> list[str]:
+    """Deterministic lowercase filler, ~90 words per paragraph."""
+    paras = []
+    words = []
+    for _ in range(n_words):
+        words.append(rng.choice(_BULK_WORDS))
+        if len(words) >= 90:
+            paras.append(" ".join(words) + ".")
+            words = []
+    if words:
+        paras.append(" ".join(words) + ".")
+    return paras
+
 # Relation sentence templates. The relation extractor (relations.py) owns the
 # matching patterns; these templates are the generative side of that contract.
 _REL_TEMPLATES = {
@@ -111,8 +137,13 @@ def _pick_surface(rng: random.Random, row, corrupt_p: float = 0.05) -> str:
     return surface
 
 
-def page_record(i: int, seed: int = SEED) -> dict:
-    """Pure function (seed, i) -> one synthetic page + its golden facts."""
+def page_record(i: int, seed: int = SEED, bulk_words: int = 0) -> dict:
+    """Pure function (seed, i) -> one synthetic page + its golden facts.
+
+    ``bulk_words`` appends deterministic lowercase filler paragraphs
+    (Common-Crawl html pages are tens of KB; the sentence skeleton alone is
+    an unrealistically light ~2KB). The filler cannot match any mention,
+    span, or relation pattern, so golden facts are unchanged at any size."""
     rng = random.Random(f"{seed}:{i}")
     sentences: list[str] = []
     triples: list[tuple[str, str, str]] = []
@@ -149,14 +180,20 @@ def page_record(i: int, seed: int = SEED) -> dict:
     region = _BY_ID[triples[0][0]][6]
     title = f"Notes on {region} history"
     body = " ".join(sentences)
+    # independent rng stream: bulk size must not shift the draws behind the
+    # golden facts or the lang flag
+    bulk = "".join(
+        f"<p>{p}</p>"
+        for p in _bulk_paragraphs(random.Random(f"{seed}:{i}:bulk"), bulk_words)
+    )
     html = (
         "<html><head><title>{t}</title>"
         "<style>body {{ color: #222; }}</style>"
         '<script>var x = "tracker";</script></head>'
         "<body><nav>Home | About | Archive</nav>"
-        "<h1>{t}</h1><p>{b}</p>"
+        "<h1>{t}</h1><p>{b}</p>{bulk}"
         "<footer>&copy; 1900 Archive Society</footer></body></html>"
-    ).format(t=title, b=body)
+    ).format(t=title, b=body, bulk=bulk)
     html_bytes = html.encode("utf-8")
 
     ts = dt.datetime(1998, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
@@ -187,7 +224,9 @@ GOLDEN_SCHEMA = "subj string, pred string, obj string, src_url string"
 GOLDEN_MENTION_SCHEMA = "url string, surface string, entity_id string"
 
 
-def gen_pages(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
+def gen_pages(
+    spark: SparkSession, n: int, seed: int = SEED, bulk_words: int = 0
+) -> DataFrame:
     """Distributed deterministic corpus: spark.range -> mapInPandas.
 
     No driver-side accumulation (the reference's CensusDataV2 anti-pattern,
@@ -196,7 +235,7 @@ def gen_pages(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            recs = [page_record(int(i), seed) for i in b["id"]]
+            recs = [page_record(int(i), seed, bulk_words) for i in b["id"]]
             yield pd.DataFrame(
                 [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in recs]
             )

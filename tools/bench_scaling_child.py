@@ -65,8 +65,16 @@ def read_steal_ticks() -> int:
 
 
 def main() -> None:
+    import os
+
     master = sys.argv[1]
     n_pages = int(sys.argv[2])
+    # Realistic page weight: the fixture's sentence skeleton is ~0.6KB of
+    # html — toy-sized next to Common-Crawl pages (tens of KB). The bench
+    # corpus carries ~13KB/page of pattern-inert filler so the measured
+    # job is extraction/annotation-bound like the real workload, not
+    # driver-floor-bound. Golden triples are unchanged at any bulk size.
+    bulk_words = int(os.environ.get("BENCH_BULK_WORDS", "2000"))
 
     from kgspark import fixtures
     from kgspark.pipeline import run_pipeline
@@ -75,17 +83,26 @@ def main() -> None:
     # Pipeline runs interpreted: whole-stage-codegen compile of the ~50-stage
     # plan is ~60s of serial driver time that amortizes to zero on a
     # long-lived cluster (see BENCH/BASELINE.md methodology).
+    # 24g heap: the localCheckpointed stages of a heavy corpus overflow the
+    # 8g default into GC thrash; the box has 128 GiB and one JVM at a time.
+    os.environ.setdefault("KGSPARK_DRIVER_MEM", "24g")
+    # shuffle partitions scale with the corpus (spill-aware sizing): 8
+    # partitions at 360k pages means ~45k pages (~90MB+) per sort — past
+    # the spill threshold, and spilling is superlinear. ~20k pages per
+    # shuffle partition keeps sorts in memory at any bench size.
     spark = get_spark(
         app_name=f"kgspark-scaling-{master}",
         master=master,
-        shuffle_partitions=8,
+        shuffle_partitions=max(8, n_pages // 20000),
         extra_conf={"spark.sql.codegen.wholeStage": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     # untimed warmup: JIT + Arrow/pandas import on workers
     warm = run_pipeline(
-        spark, fixtures.gen_pages(spark, max(n_pages // 50, 500)), fixtures.gen_alias_index(spark)
+        spark,
+        fixtures.gen_pages(spark, max(n_pages // 50, 500), bulk_words=bulk_words),
+        fixtures.gen_alias_index(spark),
     )
     warm["triples"].count()
     unpersist_all(spark)
@@ -94,10 +111,17 @@ def main() -> None:
     n_threads = int(m.group(1)) if m else 2
     s = sentinel_sec(n_threads)
 
+    # The timed section covers the WHOLE job — plan construction, the
+    # canonicalization loop (which executes inside run_pipeline), and the
+    # final materialization. (A plan/exec split was tried and reverted:
+    # connected-components runs its frontier jobs during pipeline
+    # construction, so "plan time" would silently hide real work.)
     st0 = read_steal_ticks()
     t0 = time.time()
     out = run_pipeline(
-        spark, fixtures.gen_pages(spark, n_pages), fixtures.gen_alias_index(spark)
+        spark,
+        fixtures.gen_pages(spark, n_pages, bulk_words=bulk_words),
+        fixtures.gen_alias_index(spark),
     )
     n_triples = out["triples"].count()
     dt = time.time() - t0
