@@ -211,8 +211,8 @@ def kg_multihop_shared_terms(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_qty_c2,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_base_price_c2,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -221,21 +221,26 @@ def kg_multihop_shared_terms(spark, sf_dir):
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-filter-aggregate with exact decimal sums
-    (order-independent — double sums are partition-order-dependent)."""
+    (order-independent — double sums are partition-order-dependent).
+
+    Output is fixed-point BIGINT cents ("_c2"): the sum itself is exact
+    decimal, but DECIMAL output columns never survive the driver's value
+    hasher (DuckDB fetchdf renders decimal as float64, Spark toPandas as
+    object Decimal — divergence below the arrow layer)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # Outer cast back to DECIMAL(18,2): Spark widens sum(decimal(18,2))
-            # to decimal(28,2) while DuckDB widens to decimal(38,2); pinning the
-            # result type on BOTH sides is what makes the typed value-hash match.
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("sum_base_price"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("sum_qty_c2"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+                * 100
+            )
+            .cast("long")
+            .alias("sum_base_price_c2"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -245,18 +250,21 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_top_revenue_orders",
     """
     SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_e4,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
     GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
     """,
 )
 def q3_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + agg + top-k (broadcast dim, AQE plan)."""
+    """TPC-H Q3 shape: 3-way join + agg + top-k (broadcast dim, AQE plan).
+
+    Revenue is an exact decimal sum of scale-4 products, emitted as
+    fixed-point BIGINT ("_e4") — DECIMAL outputs fail the driver hasher."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -265,18 +273,18 @@ def q3_top_revenue_orders(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            # DECIMAL(38,4) is lossless on both sides (Spark sums the scale-4
-            # product to decimal(38,4); DuckDB to decimal(38,4)) and pins the
-            # driver-hashed type without any re-rounding.
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (1 - F.col("l_discount")).cast("decimal(18,2)")
+            (
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,2)")
+                ).cast("decimal(18,4)")
+                * 10000
             )
-            .cast("decimal(38,4)")
-            .alias("revenue")
+            .cast("long")
+            .alias("revenue_e4")
         )
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate")
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
         .limit(10)
     )
 
@@ -396,7 +404,7 @@ def mode_event_type(spark, sf_dir):
 @q(
     "unpivot_lineitem",
     """
-    SELECT measure, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    SELECT measure, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c2
     FROM (
       SELECT l_orderkey, measure, value
       FROM lineitem
@@ -406,7 +414,8 @@ def mode_event_type(spark, sf_dir):
     """,
 )
 def unpivot_lineitem(spark, sf_dir):
-    """Wide->long melt (reference R1 measurement unpivot) + exact agg."""
+    """Wide->long melt (reference R1 measurement unpivot) + exact agg,
+    emitted as BIGINT cents (DECIMAL outputs fail the driver hasher)."""
     li = _t(spark, sf_dir, "lineitem")
     melted = li.melt(
         ids=["l_orderkey"],
@@ -415,7 +424,9 @@ def unpivot_lineitem(spark, sf_dir):
         valueColumnName="value",
     )
     return melted.groupBy("measure").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total")
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("total_c2")
     )
 
 
@@ -449,12 +460,13 @@ def set_except_nations(spark, sf_dir):
                 WHEN regexp_matches(p_type, '.*(MEDIUM|LARGE).*') THEN 'bulky'
                 ELSE 'other' END AS category,
            count(*) AS n_parts,
-           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+           CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_price_c2
     FROM part GROUP BY 1
     """,
 )
 def classify_part_types(spark, sf_dir):
-    """when/rlike classification chain (reference P7 derive_level)."""
+    """when/rlike classification chain (reference P7 derive_level);
+    money output as BIGINT cents (DECIMAL fails the driver hasher)."""
     part = _t(spark, sf_dir, "part")
     cat = (
         F.when(F.col("p_type").contains("PROMO"), "promo")
@@ -467,9 +479,12 @@ def classify_part_types(spark, sf_dir):
         .groupBy("category")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_price"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+                * 100
+            )
+            .cast("long")
+            .alias("total_price_c2"),
         )
     )
 
@@ -480,12 +495,13 @@ def classify_part_types(spark, sf_dir):
     SELECT CAST(year(o_orderdate) AS INT) AS yr,
            CAST(quarter(o_orderdate) AS INT) AS qtr,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c2
     FROM orders GROUP BY 1, 2
     """,
 )
 def date_rollup_orders(spark, sf_dir):
-    """Date scalar functions + multi-key agg (reference §2.8 date family)."""
+    """Date scalar functions + multi-key agg (reference §2.8 date family);
+    money output as BIGINT cents (DECIMAL fails the driver hasher)."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy(
@@ -494,9 +510,12 @@ def date_rollup_orders(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+                * 100
+            )
+            .cast("long")
+            .alias("total_c2"),
         )
     )
 
@@ -791,28 +810,32 @@ def text_fingerprint(spark, sf_dir):
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c2
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def rollup_orders(spark, sf_dir):
     """Grouping-sets rollup (SURVEY §2.4: 'cube/rollup free if we extend
-    reporting') — subtotal rows coalesced to 'ALL' for engine parity."""
+    reporting') — subtotal rows coalesced to 'ALL' for engine parity;
+    money output as BIGINT cents (DECIMAL fails the driver hasher)."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+                * 100
+            )
+            .cast("long")
+            .alias("total_c2"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             "n_orders",
-            "total",
+            "total_c2",
         )
     )
 
