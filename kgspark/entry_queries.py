@@ -730,6 +730,63 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_dup_groups(_t(spark, sf_dir, "documents"))
 
 
+def dedup_minhash_lsh_fast(spark, sf_dir):
+    """xxhash64-signature MinHash-LSH — the crawl-scale fast path. No DuckDB
+    oracle (xxhash64 is engine-native); correctness is pinned two ways:
+    the md5 twin `dedup_minhash_lsh` is oracle-green with the identical
+    banding plan, and pytest asserts the fast variant recovers the same
+    exact-duplicate pairs on the fixture corpus."""
+    from .ops import dedup as _dedup
+
+    return _dedup.minhash_lsh_pairs_fast(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
+
+
+@q(
+    "dedup_simhash_hamming",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.tok AS tok
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), bits AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, {sums}
+      FROM bits GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    ), banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS u(band)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             l.simhash AS sig_a, r.simhash AS sig_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.nib = r.nib
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """.format(
+        sums=", ".join(
+            f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+            for j in range(16)
+        ),
+        sig=" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)),
+    ),
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """Hamming<=3 simhash retrieval via exact-recall nibble banding."""
+    return dedup.simhash_hamming_pairs(_t(spark, sf_dir, "documents"), k=3, n_bands=4)
+
+
 @q(
     "text_token_stats",
     """
@@ -1247,6 +1304,39 @@ def provenance_entities_docs(spark, sf_dir):
         F.col("source").alias("src_url"),  # plain token: domain == itself
     )
     return provenance.provenance_entities(docs)
+
+
+@q(
+    "kg_pipeline_mention_triples",
+    f"""
+    WITH g AS (SELECT unnest(ARRAY{GAZ!r}) AS term)
+    SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+           'mentions' AS pred,
+           term AS obj
+    FROM documents, g
+    WHERE regexp_matches(text, '\\b' || term || '\\b')
+    """,
+)
+def kg_pipeline_mention_triples(spark, sf_dir):
+    """Flagship companion with a REAL oracle: the pipeline's own mention
+    stage (mentions.annotate_pages -> explode_mentions — the same Arrow UDF
+    the full kg_pipeline_triples runs) over the documents table with the
+    entry gazetteer, emitted as (subj, pred, obj) mention triples. The
+    DuckDB side recomputes the gazetteer-exact subset with word-boundary
+    regexes, so the extraction stage of the flagship is hash-checked, not
+    just rows>0."""
+    from .mentions import annotate_pages, explode_mentions
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    m = explode_mentions(annotate_pages(docs, GAZ, []))
+    return m.where(F.col("kind") == "gazetteer").select(
+        F.col("url").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("surface").alias("obj"),
+    )
 
 
 # =====================================================================

@@ -16,8 +16,11 @@ Scale notes per operator:
 - ngram-jaccard: candidate generation via shared *rare* shingles (document
   frequency cap) — the blocking trick that keeps the self-join linear-ish;
   verify with exact Jaccard on shingle sets.
-- simhash: 16-bit majority-vote signature; near-dup = equal signature
-  (or Hamming<=k via banding on nibbles).
+- simhash: 16-bit majority-vote signature; near-dup = equal signature, or
+  Hamming<=k retrieval via nibble banding (`simhash_hamming_pairs`): with
+  the 16 bits split into 4 bands, any pair within Hamming distance 3 shares
+  at least one whole band (pigeonhole), so one equi-join on (band, nibble)
+  retrieves ALL such pairs — exact recall, no cross-join.
 - embedding cosine: see simsearch.py (shares the blocked-pair machinery).
 """
 
@@ -79,9 +82,57 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str,
     return sh.select(F.col(id_col), *[mh(k) for k in range(n_hashes)])
 
 
+def minhash_signature_fast(docs: DataFrame, id_col: str, text_col: str,
+                           n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Engine-native minhash: min over xxhash64(shingle, seed_k).
+
+    ~an order of magnitude cheaper than the md5-hex-string signature (no
+    hex formatting, 8-byte integers instead of 32-char strings, one JVM
+    hash per shingle per k) — the signature the ENGINE should use at crawl
+    scale. Not oracle-portable (DuckDB has no xxhash64), so the md5 variant
+    stays as the oracle-paired query; near-dup recall properties are
+    identical (both are uniform hash families)."""
+    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+
+    def mh(k: int):
+        seed = F.lit(k)
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))
+        ).alias(f"mh{k}")
+
+    return sh.select(F.col(id_col), *[mh(k) for k in range(n_hashes)])
+
+
+def _banded_pairs_from_signature(sig: DataFrame, id_col: str, n_hashes: int,
+                                 n_bands: int) -> DataFrame:
+    """(a < b) candidate pairs from any mh0..mhK-1 signature frame: band
+    keys combine R minhashes, one equi-join on (band, band_key)."""
+    r = n_hashes // n_bands
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n_hashes: int = 8, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs (a < b) via banded MinHash-LSH."""
+    """Candidate near-dup pairs (a < b) via banded MinHash-LSH (portable
+    md5 signature — matches the DuckDB oracle bit-for-bit)."""
     sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_n)
     r = n_hashes // n_bands
     banded = sig.select(
@@ -103,6 +154,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .select("a", "b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs_fast(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n_hashes: int = 8,
+                           n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via the xxhash64 signature — the crawl-scale
+    fast path (same banding plan, integer band keys, no string md5)."""
+    sig = minhash_signature_fast(docs, id_col, text_col, n_hashes, shingle_n)
+    return _banded_pairs_from_signature(sig, id_col, n_hashes, n_bands)
 
 
 # --- n-gram Jaccard ----------------------------------------------------------
@@ -184,4 +244,57 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 3,
+                          n_bands: int = 4) -> DataFrame:
+    """All pairs (a < b) with Hamming(simhash_a, simhash_b) <= k.
+
+    Banding on 16/n_bands-bit nibbles: a pair within Hamming distance
+    k < n_bands must agree exactly on >=1 band (pigeonhole), so the
+    (band, nibble) equi-join has EXACT recall — this is the CC-crawl-scale
+    plan (one shuffle, bucket fan-out bounded by band cardinality), not an
+    approximation. Verification is a JVM-side popcount on the XOR.
+
+    Reference analog (what, not how): duplicate-title collapse in the
+    reference's entity merge (SURVEY.md §2 A-family); re-expressed as the
+    standard simhash banding retrieval."""
+    if k >= n_bands:
+        raise ValueError("exact recall needs k < n_bands")
+    sig = simhash16(docs, id_col, text_col)
+    bits = 16 // n_bands
+    mask = (1 << bits) - 1
+    banded = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "nib"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "band", "nib"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "band", "nib"
+    )
+    return (
+        left.join(right, ["band", "nib"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= k)
     )

@@ -95,24 +95,27 @@ def run_pipeline(
         "triples", lambda: resolve_triples(relations, links, resolved), partition_by=["pred"]
     )
 
-    entities = ck("entities", lambda: mat.build_entities(alias_index, links))
-    edges_all = ck(
-        "edges",
-        lambda: mat.build_edges(triples, mat.build_mention_edges(links)),
-        partition_by=["pred"],
-    )
-    lineage = ck(
-        "lineage",
-        lambda: metrics.lineage_rows(edges_all, "edges", "subj").unionByName(
-            metrics.lineage_rows(triples, "triples", "subj")
-        ),
-    )
     # Derived dimensions are built LAZILY (first dict access): their
     # construction triggers eager Catalyst analysis (unionByName resolves
     # schemas immediately) over the full pipeline tree — measured ~5s of
     # driver time per run — which consumers that only want `triples`
-    # should not pay.
+    # should not pay. entities/edges/lineage live here too: they are
+    # pure plan construction (Py4J + analysis, part of the serial driver
+    # floor) that triples-only consumers — including the scaling bench —
+    # never execute.
     lazy_builders = {
+        "entities": lambda: ck("entities", lambda: mat.build_entities(alias_index, links)),
+        "edges": lambda: ck(
+            "edges",
+            lambda: mat.build_edges(triples, mat.build_mention_edges(links)),
+            partition_by=["pred"],
+        ),
+        "lineage": lambda: ck(
+            "lineage",
+            lambda: metrics.lineage_rows(stages["edges"], "edges", "subj").unionByName(
+                metrics.lineage_rows(triples, "triples", "subj")
+            ),
+        ),
         "prov_entities": lambda: ck(
             "prov_entities", lambda: prov.provenance_entities(triples)
         ),
@@ -120,13 +123,15 @@ def run_pipeline(
         "entity_snapshots": lambda: ck(
             "entity_snapshots", lambda: temporal.entity_snapshots(links, pages)
         ),
+        # Built from the (checkpointed) entity_snapshots stage via the lazy
+        # dict itself so accessing both keys runs the snapshot agg once.
         "entity_timeline": lambda: ck(
             "entity_timeline",
-            lambda: temporal.entity_timeline(temporal.entity_snapshots(links, pages)),
+            lambda: temporal.entity_timeline(stages["entity_snapshots"]),
         ),
     }
 
-    return _LazyStages(lazy_builders, {
+    stages = _LazyStages(lazy_builders, {
         "extracted": extracted,
         "annotated": annotated,
         "mentions": mentions,
@@ -138,18 +143,25 @@ def run_pipeline(
         "canonical_map": canonical_map,
         "resolved_surfaces": resolved,
         "triples": triples,
-        "entities": entities,
-        "edges": edges_all,
-        "lineage": lineage,
     })
+    return stages
 
 
 class _LazyStages(dict):
-    """Stage dict whose derived entries build on first access."""
+    """Stage dict whose derived entries build on first access.
+
+    The whole dict protocol sees the union of eager and lazy keys —
+    get()/items()/values()/len()/iteration included — but only
+    __getitem__/get/items/values actually trigger a build."""
 
     def __init__(self, builders, eager):
         super().__init__(eager)
         self._builders = builders
+
+    def _pending(self):
+        # dict.__contains__ explicitly: zero-arg super() has no __class__
+        # cell inside a comprehension scope
+        return [k for k in self._builders if not dict.__contains__(self, k)]
 
     def __getitem__(self, key):
         if not super().__contains__(key) and key in self._builders:
@@ -159,6 +171,20 @@ class _LazyStages(dict):
     def __contains__(self, key):
         return super().__contains__(key) or key in self._builders
 
+    def get(self, key, default=None):  # noqa: A003 - dict interface
+        return self[key] if key in self else default
+
     def keys(self):  # noqa: A003 - dict interface
-        built = list(dict.keys(self))
-        return built + [k for k in self._builders if k not in set(built)]
+        return list(dict.keys(self)) + self._pending()
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __len__(self):
+        return dict.__len__(self) + len(self._pending())
+
+    def items(self):  # noqa: A003 - dict interface
+        return [(k, self[k]) for k in self.keys()]
+
+    def values(self):  # noqa: A003 - dict interface
+        return [self[k] for k in self.keys()]

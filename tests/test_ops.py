@@ -33,6 +33,16 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_minhash_fast_matches_portable_on_dups(spark):
+    """The xxhash64 fast path must find every pair the md5 path finds on
+    exact/near dups (identical banding; only the hash family differs)."""
+    docs = _docs(spark)
+    slow = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs, shingle_n=2).collect()}
+    fast = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs_fast(docs, shingle_n=2).collect()}
+    assert (1, 2) in fast  # identical docs always collide
+    assert slow == fast  # same pairs on this fixture (both uniform families)
+
+
 def test_ngram_jaccard(spark):
     out = dedup.ngram_jaccard_pairs(_docs(spark), shingle_n=2, threshold=0.3).collect()
     pairs = {(r["a"], r["b"]): r["jaccard_e6"] for r in out}
@@ -45,6 +55,25 @@ def test_simhash_identical_docs_same_hash(spark):
     assert sig[1] == sig[2]
     assert sig[4] == sig[5]  # simhash is order-insensitive over distinct tokens
     assert 0 <= sig[1] < (1 << 16)
+
+
+def test_simhash_hamming_banding_has_exact_recall(spark):
+    """With k < n_bands the nibble-band equi-join must return EXACTLY the
+    brute-force Hamming<=k pair set (pigeonhole guarantee, not approx)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    sig = dedup.simhash16(docs).collect()
+    brute = set()
+    for i, ra in enumerate(sig):
+        for rb in sig[i + 1:]:
+            a, b = sorted([ra["doc_id"], rb["doc_id"]])
+            if bin(ra["simhash"] ^ rb["simhash"]).count("1") <= 3:
+                brute.add((a, b))
+    banded = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_hamming_pairs(docs, k=3, n_bands=4).collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0  # fixture actually exercises the path
 
 
 def test_fingerprint_order_insensitive(spark):
@@ -181,11 +210,24 @@ def test_multimodal_decode_plumbing(spark):
     decoded = multimodal.decode_images(media.where("kind = 'image'"))
     rows = decoded.collect()
     assert all(r["decode_ok"] for r in rows)
-    assert all(r["width"] >= 64 and r["n_channels"] in (1, 2, 3) for r in rows)
-    # deterministic: same payload -> same fake dims
-    again = {r["media_id"]: (r["width"], r["height"]) for r in multimodal.decode_images(
-        media.where("kind = 'image'")).collect()}
-    assert {r["media_id"]: (r["width"], r["height"]) for r in rows} == again
+    assert all(r["width"] >= 64 and r["n_channels"] in (1, 3, 4) for r in rows)
+    # header parse recovers the exact dims the fixture encoded
+    want = {
+        f"m{i:04d}": (64 + 8 * (i % 50), 64 + 8 * ((i * 7) % 50))
+        for i in range(30)
+        if i % 3
+    }
+    assert {r["media_id"]: (r["width"], r["height"]) for r in rows} == want
+
+
+def test_image_header_parse_formats():
+    for fmt, ch in [("png", 3), ("gif", 3), ("jpeg", 3), ("bmp", 3)]:
+        b = multimodal.make_image_bytes(fmt, 320, 200, b"pixpixpix" * 4)
+        assert multimodal.parse_image_header(b) == (320, 200, ch), fmt
+    # non-image payloads are flagged, not crashed
+    assert multimodal.parse_image_header(b"not an image at all, promise") is None
+    assert multimodal.decode_image_header(None) == (0, 0, 0, 0.0, False)
+    assert multimodal.decode_image_header(b"\xff\xd8 truncated")[4] is False
 
 
 def test_multimodal_frame_sampling(spark):
@@ -195,8 +237,3 @@ def test_multimodal_frame_sampling(spark):
     assert len(pdf) > 0
     per = pdf.groupby("media_id").size()
     assert (per >= 2).all()  # durations are 2-6s
-
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"xx")

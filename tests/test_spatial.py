@@ -139,3 +139,74 @@ def test_wkb_non_rectangular_ring_area(spark):
     row = spatial.with_wkb_geometry(df).collect()[0]
     assert row["ring_area"] == 6.0
     assert row["bbox"].asDict() == {"xmin": 0.0, "ymin": 0.0, "xmax": 4.0, "ymax": 3.0}
+
+
+def _rot_rect(cx, cy, w, h, theta):
+    import math
+
+    c, s = math.cos(theta), math.sin(theta)
+    pts = []
+    for dx, dy in [(-w / 2, -h / 2), (w / 2, -h / 2), (w / 2, h / 2), (-w / 2, h / 2)]:
+        pts.append((cx + c * dx - s * dy, cy + s * dx + c * dy))
+    return pts
+
+
+def test_convex_clip_analytic():
+    """Sutherland–Hodgman vs closed-form areas (no Spark needed)."""
+    import math
+
+    import numpy as np
+
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], float)
+    assert spatial.polygon_intersection_area(sq, sq) == 4.0
+    s2 = math.sqrt(2)
+    diamond = np.array([[1 + s2, 1], [1, 1 + s2], [1 - s2, 1], [1, 1 - s2]])
+    got = spatial.polygon_intersection_area(sq, diamond)
+    assert abs(got - (8 * s2 - 8)) < 1e-9
+    # orientation-insensitive; disjoint is zero
+    assert abs(spatial.polygon_intersection_area(sq[::-1], diamond[::-1]) - got) < 1e-12
+    assert spatial.polygon_intersection_area(sq, sq + 10.0) == 0.0
+
+
+def test_overlap_join_wkb_rotated_rings(spark):
+    """Exact intersection on NON-axis-aligned convex rings: the WKB overlap
+    join must reproduce a brute-force numpy clip over all pairs — and the
+    rotated-rectangle areas must match the shoelace parity (verdict item:
+    bbox-IoU fallback retired for convex rings)."""
+    import math
+
+    import numpy as np
+
+    rng = random.Random(11)
+    left_rings, right_rings = [], []
+    for i in range(40):
+        cx, cy = rng.uniform(0, 120), rng.uniform(0, 120)
+        left_rings.append(_rot_rect(cx, cy, rng.uniform(4, 20), rng.uniform(4, 20), rng.uniform(0, math.pi)))
+        cx, cy = rng.uniform(0, 120), rng.uniform(0, 120)
+        right_rings.append(_rot_rect(cx, cy, rng.uniform(4, 20), rng.uniform(4, 20), rng.uniform(0, math.pi)))
+
+    mk = lambda rings: spark.createDataFrame(
+        [(i, bytearray(spatial.encode_polygon_wkb(r))) for i, r in enumerate(rings)],
+        "unit_id bigint, wkb binary",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["iou_e6"], r["a_cover_e6"])
+        for r in spatial.spatial_overlap_join_wkb(
+            mk(left_rings), mk(right_rings), cell_size=16.0, iou_threshold_e6=10000
+        ).collect()
+    }
+
+    want = {}
+    for i, ra in enumerate(left_rings):
+        pa = np.array(ra)
+        area_a = abs(spatial._signed_area2(pa)) / 2
+        for j, rb in enumerate(right_rings):
+            pb = np.array(rb)
+            area_b = abs(spatial._signed_area2(pb)) / 2
+            inter = spatial.polygon_intersection_area(pa, pb)
+            union = area_a + area_b - inter
+            iou_e6 = int(math.floor(1e6 * inter / union)) if union > 0 else 0
+            if iou_e6 >= 10000:
+                want[(i, j)] = (iou_e6, int(math.floor(1e6 * inter / area_a)))
+    assert got == want
+    assert len(want) > 0  # fixture exercises the path

@@ -69,6 +69,7 @@ def main() -> None:
 
     master = sys.argv[1]
     n_pages = int(sys.argv[2])
+    stages_mode = "--stages" in sys.argv[3:]
     # Realistic page weight: the fixture's sentence skeleton is ~0.6KB of
     # html — toy-sized next to Common-Crawl pages (tens of KB). The bench
     # corpus carries ~13KB/page of pattern-inert filler so the measured
@@ -106,6 +107,24 @@ def main() -> None:
     )
     warm["triples"].count()
     unpersist_all(spark)
+
+    if stages_mode:
+        # Informational per-stage split: materialize each pipeline boundary
+        # in order and report CUMULATIVE seconds. This run does extra work
+        # (each boundary forces a job) so it never feeds the scaling ratio.
+        t0 = time.time()
+        out = run_pipeline(
+            spark,
+            fixtures.gen_pages(spark, n_pages, bulk_words=bulk_words),
+            fixtures.gen_alias_index(spark),
+        )
+        splits = {}
+        for stage in ("annotated", "links", "components", "triples"):
+            out[stage].count()
+            splits[stage] = round(time.time() - t0, 2)
+        print(json.dumps({"master": master, "pages": n_pages, "stage_sec": splits}))
+        spark.stop()
+        return
 
     m = re.match(r"local\[(\d+)\]", master)
     n_threads = int(m.group(1)) if m else 2
