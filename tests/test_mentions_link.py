@@ -118,3 +118,31 @@ def test_scanner_ac_and_regex_paths_agree():
     m1 = _build_scanner(gaz, regions, use_ac=False)(text)
     m2 = _build_scanner(gaz, regions, use_ac=True)(text)
     assert m1 == m2
+
+
+def test_fused_relation_scan_matches_per_pattern():
+    """The single fused relation regex must find the identical (subj, pred,
+    obj) set the five per-pred scans find on the fixture corpus (the fused
+    pass is the annotate hot loop; equivalence argument in mentions.py)."""
+    import re
+
+    from kgspark import fixtures
+    from kgspark.extract import extract_text_bytes
+    from kgspark.mentions import _REL_COMBINED, _REL_PATTERNS, _REL_PHRASE_TO_PRED
+
+    rel_res = [(p, re.compile(rx)) for p, rx in _REL_PATTERNS]
+    n_rels = 0
+    for i in range(150):
+        t = extract_text_bytes(fixtures.page_record(i, bulk_words=200)["html"])
+        old = {
+            (m.group(1), pred, m.group(2))
+            for pred, rx in rel_res
+            for m in rx.finditer(t)
+        }
+        new = {
+            (m.group(1), _REL_PHRASE_TO_PRED[m.group(2)], m.group(3))
+            for m in _REL_COMBINED.finditer(t)
+        }
+        assert old == new
+        n_rels += len(new)
+    assert n_rels > 0

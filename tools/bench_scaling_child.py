@@ -157,6 +157,13 @@ def main() -> None:
                 "steal_core_sec": round(steal_core_sec, 1),
                 # steal as a fraction of the core-time this run needed
                 "steal_frac": round(steal_core_sec / (dt * n_threads), 3),
+                # machine-wide stolen cores per wall-second: the side-
+                # symmetric contention gauge (steal_frac divides by
+                # n_threads, which makes the same ambient pressure look 4x
+                # worse on the 1-thread side — measured: ~0.7 cores/s
+                # ambient reads as frac 0.70 at local[1] vs 0.17 at
+                # local[4])
+                "steal_rate": round(steal_core_sec / dt, 3),
             }
         )
     )
