@@ -31,7 +31,7 @@ from pathlib import Path
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 30k pages x ~13KB (BENCH_BULK_WORDS in the child): realistic page weight
+# 45k pages x ~13KB (BENCH_BULK_WORDS in the child): realistic page weight
 # makes the job extraction/annotation-bound like a real crawl; the serial
 # driver floor (plan analysis + CC-loop jobs, constant across parallelism)
 # is a few % of the local[1] run. At 100 TB the floor is irrelevant; the
@@ -39,9 +39,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # so a full interleaved low/high round fits in ~6 minutes, leaving room for
 # several rounds inside the wall budget (a single 20-minute round can never
 # collect the >=2 clean rounds the methodology needs).
-SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "30000"))
+SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "45000"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
-MAX_REPEATS = int(os.environ.get("BENCH_MAX_REPEATS", "6"))
+MAX_REPEATS = int(os.environ.get("BENCH_MAX_REPEATS", "8"))
 # A round is CLEAN only if BOTH its sides saw at most this machine-wide
 # hypervisor steal RATE (stolen cores per wall-second, /proc/stat delta
 # across the timed run). Rate, not per-thread fraction: dividing by thread
@@ -52,13 +52,14 @@ STEAL_MAX = float(os.environ.get("BENCH_STEAL_MAX", "0.15"))
 # Hard wall-clock budget for the scaling phase: stop adding rounds when
 # exceeded even if the efficiency target hasn't been hit — a bench that
 # outlives its caller's patience records nothing at all.
-TIME_BUDGET_SEC = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "1500"))
+TIME_BUDGET_SEC = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "2400"))
 # Absolute quiet-host anchor: the 8-proc parallel spin measures 0.45-0.6 s
 # on this VM when idle. Before each scaling round the parent probes it and
 # waits (bounded) for a quiet window rather than burning a round into a
 # persistent contention episode the relative filter can't see.
 QUIET_CEILING = float(os.environ.get("BENCH_QUIET_CEILING", "0.8"))
-QUIET_WAITS = int(os.environ.get("BENCH_QUIET_WAITS", "4"))
+QUIET_WAITS = int(os.environ.get("BENCH_QUIET_WAITS", "6"))
+QUIET_SLEEP_SEC = float(os.environ.get("BENCH_QUIET_SLEEP_SEC", "30"))
 # Scaling pair: this sandbox VM exposes 32 hyperthreads over ~16 physical
 # cores (a pure-JVM compute kernel saturates at ~2.3x going 8->32 threads),
 # so the N vs 4N comparison must stay well inside the physical core budget.
@@ -126,9 +127,14 @@ def _run_child(master: str, n_pages: int) -> dict | None:
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line)
+                r = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if "aborted" in r:
+                # child bailed during warmup (steal burst) — cheap skip
+                print(f"[scaling] {json.dumps(r)}", file=sys.stderr, flush=True)
+                return None
+            return r
     return None
 
 
@@ -229,7 +235,7 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
             steal_rate = (read_steal_ticks() - st0) / 100.0 / probe_wall
             if spin <= QUIET_CEILING and steal_rate <= STEAL_MAX:
                 return
-            time.sleep(20)
+            time.sleep(QUIET_SLEEP_SEC)
 
     t_start = time.time()
     for rnd in range(MAX_REPEATS):

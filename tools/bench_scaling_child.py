@@ -99,7 +99,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warmup: JIT + Arrow/pandas import on workers
+    # untimed warmup: JIT + Arrow/pandas import on workers. Steal is also
+    # measured ACROSS the warmup: if the host is already in a burst, abort
+    # now (~1 min sunk) instead of burning a full timed round that the
+    # parent's clean-gate would discard anyway (~5-10 min sunk).
+    abort_rate = float(os.environ.get("BENCH_CHILD_ABORT_RATE", "0.3"))
+    wst0, wt0 = read_steal_ticks(), time.time()
     warm = run_pipeline(
         spark,
         fixtures.gen_pages(spark, max(n_pages // 50, 500), bulk_words=bulk_words),
@@ -107,6 +112,20 @@ def main() -> None:
     )
     warm["triples"].count()
     unpersist_all(spark)
+    warm_rate = (read_steal_ticks() - wst0) / 100.0 / max(time.time() - wt0, 0.1)
+    if not stages_mode and warm_rate > abort_rate:
+        print(
+            json.dumps(
+                {
+                    "master": master,
+                    "pages": n_pages,
+                    "aborted": "steal_during_warmup",
+                    "warmup_steal_rate": round(warm_rate, 3),
+                }
+            )
+        )
+        spark.stop()
+        return
 
     if stages_mode:
         # Informational per-stage split: materialize each pipeline boundary
