@@ -178,7 +178,33 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
         complete = [r for r in rounds if r["low"] and r["high"]]
         clean = [r for r in complete if round_clean(r)]
         if not complete:
-            return {"efficiency": 0.0, "n_rounds": 0, "n_clean_rounds": 0}
+            # zero complete rounds (every child aborted/failed): emit a
+            # structurally complete, clearly-invalid artifact rather than
+            # crashing after the headline phase already ran
+            empty = {
+                "master": "",
+                "pages": n_pages,
+                "triples": 0,
+                "times_sec": [],
+                "sentinels_sec": [],
+                "steal_fracs": [],
+                "steal_rates": [],
+                "best_sec": 0.0,
+                "triples_per_sec": 0.0,
+                "pages_per_sec": 0.0,
+            }
+            return {
+                "low": {**empty, "master": m_low},
+                "high": {**empty, "master": m_high},
+                "efficiency": 0.0,
+                "efficiency_per_round": [],
+                "efficiency_per_clean_round": [],
+                "n_rounds": 0,
+                "n_clean_rounds": 0,
+                "n_rounds_discarded_steal": 0,
+                "all_rounds_contaminated": True,
+                "steal_max": STEAL_MAX,
+            }
         import statistics
 
         all_effs = [round_eff(r) for r in complete]

@@ -32,6 +32,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the DataFrame has at least default-parallelism partitions.
+
+    The small single-file test parquets arrive as ONE input partition
+    (file size << maxPartitionBytes), which serializes every downstream
+    map stage onto one core — measured 3x on the shingle explode. At
+    cluster scale inputs already carry >= cores partitions and this is a
+    no-op; the repartition only fires (and only shuffles) on
+    under-partitioned small inputs."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -63,7 +78,7 @@ def q(name: str, oracle: str | None = None):
 def kg_mention_detect(spark, sf_dir):
     """Gazetteer mention detection: token-explode + vocabulary filter
     (SURVEY.md §2 mention scan; map-side only up to the final groupBy)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
         .where(F.col("term").isin(GAZ))
@@ -84,7 +99,7 @@ def kg_mention_detect(spark, sf_dir):
 def kg_mention_topk(spark, sf_dir):
     """Reference TEST-6 analog: top-10 entities by page count
     (groupBy + countDistinct + TakeOrderedAndProject)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
         .where(F.col("term").isin(GAZ))
@@ -112,7 +127,7 @@ def kg_mention_topk(spark, sf_dir):
 def kg_cooccurrence_edges(spark, sf_dir):
     """Triple materialization analog: co-mention self-join with symmetric
     dedup (a < b, reference O4) -> weighted (subj, pred, obj) edges."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     m = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
         .where(F.col("term").isin(GAZ))
@@ -151,7 +166,7 @@ def kg_cooccurrence_edges(spark, sf_dir):
 def kg_link_fuzzy(spark, sf_dir):
     """Fuzzy entity linking analog: distinct vocabulary vs broadcast
     gazetteer, levenshtein<=1 verify, top-1 window (reference J6/J7/W1)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = (
         docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
         .where(F.length("tok") >= 3)
@@ -185,7 +200,7 @@ def kg_link_fuzzy(spark, sf_dir):
 def kg_multihop_shared_terms(spark, sf_dir):
     """2-hop traversal analog (doc -mentions-> term <-mentions- doc):
     doc pairs sharing >=9 gazetteer terms."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     m = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
         .where(F.col("term").isin(GAZ))
@@ -592,7 +607,7 @@ def events_sessionize(spark, sf_dir):
     """,
 )
 def dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+    return dedup.exact_dedup(_spread(_t(spark, sf_dir, "documents")))
 
 
 # For near-dup demos the corpus has no real duplicates, so each query builds
@@ -625,7 +640,7 @@ def _with_twins(docs: DataFrame) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    return docs.select("doc_id", F.lower("text").alias("text")).unionByName(twin)
+    return _spread(docs.select("doc_id", F.lower("text").alias("text")).unionByName(twin))
 
 
 @q(
@@ -670,17 +685,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
              list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
                             for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
       FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus)
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> md5(s)) AS h1s,
+             list_transform(shingles, s -> md5(s || '#')) AS h2s
+      FROM sh
     ), sig AS (
       SELECT doc_id,
-             list_min(list_transform(shingles, s -> md5(s || '#0'))) AS mh0,
-             list_min(list_transform(shingles, s -> md5(s || '#1'))) AS mh1,
-             list_min(list_transform(shingles, s -> md5(s || '#2'))) AS mh2,
-             list_min(list_transform(shingles, s -> md5(s || '#3'))) AS mh3,
-             list_min(list_transform(shingles, s -> md5(s || '#4'))) AS mh4,
-             list_min(list_transform(shingles, s -> md5(s || '#5'))) AS mh5,
-             list_min(list_transform(shingles, s -> md5(s || '#6'))) AS mh6,
-             list_min(list_transform(shingles, s -> md5(s || '#7'))) AS mh7
-      FROM sh
+             list_min(list_transform(h1s, h -> substring(h, 1, 8))) AS mh0,
+             list_min(list_transform(h1s, h -> substring(h, 9, 8))) AS mh1,
+             list_min(list_transform(h1s, h -> substring(h, 17, 8))) AS mh2,
+             list_min(list_transform(h1s, h -> substring(h, 25, 8))) AS mh3,
+             list_min(list_transform(h2s, h -> substring(h, 1, 8))) AS mh4,
+             list_min(list_transform(h2s, h -> substring(h, 9, 8))) AS mh5,
+             list_min(list_transform(h2s, h -> substring(h, 17, 8))) AS mh6,
+             list_min(list_transform(h2s, h -> substring(h, 25, 8))) AS mh7
+      FROM hs
     ), banded AS (
       SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
       UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
@@ -727,7 +747,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     ),
 )
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_dup_groups(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_dup_groups(_spread(_t(spark, sf_dir, "documents")))
 
 
 def dedup_minhash_lsh_fast(spark, sf_dir):
@@ -738,7 +758,7 @@ def dedup_minhash_lsh_fast(spark, sf_dir):
     exact-duplicate pairs on the fixture corpus."""
     from .ops import dedup as _dedup
 
-    return _dedup.minhash_lsh_pairs_fast(_t(spark, sf_dir, "documents"))
+    return _dedup.minhash_lsh_pairs_fast(_spread(_t(spark, sf_dir, "documents")))
 
 
 QUERIES["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
@@ -784,7 +804,9 @@ QUERIES["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
 )
 def dedup_simhash_hamming(spark, sf_dir):
     """Hamming<=3 simhash retrieval via exact-recall nibble banding."""
-    return dedup.simhash_hamming_pairs(_t(spark, sf_dir, "documents"), k=3, n_bands=4)
+    return dedup.simhash_hamming_pairs(
+        _spread(_t(spark, sf_dir, "documents")), k=3, n_bands=4
+    )
 
 
 @q(
@@ -800,7 +822,7 @@ def dedup_simhash_hamming(spark, sf_dir):
     """,
 )
 def text_token_stats(spark, sf_dir):
-    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+    return textstats.token_stats(_spread(_t(spark, sf_dir, "documents")))
 
 
 @q(
@@ -821,7 +843,7 @@ def text_token_stats(spark, sf_dir):
     """,
 )
 def text_quality_score(spark, sf_dir):
-    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+    return textstats.quality_score(_spread(_t(spark, sf_dir, "documents")))
 
 
 @q(
@@ -846,7 +868,7 @@ def text_quality_score(spark, sf_dir):
     """,
 )
 def text_langid(spark, sf_dir):
-    return textstats.langid_heuristic(_t(spark, sf_dir, "documents"))
+    return textstats.langid_heuristic(_spread(_t(spark, sf_dir, "documents")))
 
 
 @q(
@@ -858,7 +880,7 @@ def text_langid(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
-    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+    return textstats.fingerprint(_spread(_t(spark, sf_dir, "documents")))
 
 
 @q(
@@ -987,7 +1009,7 @@ _COS_E6 = f"CAST(floor({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}) * 1000000.0) AS BIGI
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1017,7 +1039,7 @@ def ann_cosine_topk(spark, sf_dir):
     """,
 )
 def ann_lsh_bucketed(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1063,7 +1085,7 @@ def ann_lsh_banded(spark, sf_dir):
     """Banded-SRP ANN: 16 sparse hyperplane bits x 4 bands — the multi-table
     LSH that replaces the 16-bucket variant at 10^9 vectors (per-band
     fan-out bounded by 2^band_bits; recall from band count)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1088,7 +1110,7 @@ def ann_lsh_banded(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return simsearch.embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _spread(_t(spark, sf_dir, "embeddings")), threshold=0.4
     )
 
 
@@ -1256,7 +1278,7 @@ def entity_timeline_changes(spark, sf_dir):
     """Temporal-evolution chain: per-entity, per-snapshot mention counts
     with lag deltas — the query shape of the reference's cross-year
     timeline (query_test_results.log:12-20) over the documents corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     m = (
         docs.select(
             (F.lit(1867) + F.col("doc_id") % 5).alias("yr"),
@@ -1298,7 +1320,7 @@ def provenance_entities_docs(spark, sf_dir):
     source — the oracle-checkable face of kgspark/provenance.py."""
     from . import provenance
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.lit("x").alias("subj"),
         F.col("source").alias("src_url"),  # plain token: domain == itself
@@ -1327,7 +1349,7 @@ def kg_pipeline_mention_triples(spark, sf_dir):
     just rows>0."""
     from .mentions import annotate_pages, explode_mentions
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
         F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
         "text",
     )

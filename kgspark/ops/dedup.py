@@ -68,39 +68,76 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def minhash_signature(docs: DataFrame, id_col: str, text_col: str,
                       n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """(id, mh0..mhK-1): engine-portable minhash — min over md5(shingle#k)."""
+    """(id, mh0..mhK-1): engine-portable minhash.
+
+    Hash families are 8-hex-char substrings of md5(shingle) (families 0-3)
+    and md5(shingle || '#') (families 4-7): two md5 invocations per shingle
+    instead of eight, identical in DuckDB (`substring(md5(s), k*8+1, 8)`),
+    and lexicographic-min over fixed-width hex equals numeric min. Capped
+    at 8 families; widen with more salts if a caller ever asks."""
+    if n_hashes > 8:
+        raise ValueError("portable signature supports n_hashes <= 8")
     sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    # explode -> hash once per shingle row -> 8 map-side-combined mins.
+    # An array-transform formulation keeps everything shuffle-free but
+    # Catalyst's CollapseProject inlines the md5 struct into each of the 8
+    # array_min consumers, re-hashing every shingle 8x (measured 20% SLOWER
+    # than the naive form); as separate projection columns the two md5s are
+    # computed once per shingle, and the min-agg shuffle carries only
+    # 8 x 8-hex-char strings per doc.
+    hashed = sh.select(F.col(id_col), F.explode(F.col("sh")).alias("s")).select(
+        F.col(id_col),
+        F.md5(F.col("s")).alias("h1"),
+        F.md5(F.concat(F.col("s"), F.lit("#"))).alias("h2"),
+    )
 
     def mh(k: int):
-        # closure factory — a 2-param lambda would be read by Spark as the
-        # (element, index) form and the salt would silently break
-        salt = F.lit(f"#{k}")
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, salt)))
-        ).alias(f"mh{k}")
+        field, off = ("h1", k) if k < 4 else ("h2", k - 4)
+        return F.min(F.substring(F.col(field), off * 8 + 1, 8)).alias(f"mh{k}")
 
-    return sh.select(F.col(id_col), *[mh(k) for k in range(n_hashes)])
+    return hashed.groupBy(id_col).agg(*[mh(k) for k in range(n_hashes)])
 
 
 def minhash_signature_fast(docs: DataFrame, id_col: str, text_col: str,
                            n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """Engine-native minhash: min over xxhash64(shingle, seed_k).
-
-    ~an order of magnitude cheaper than the md5-hex-string signature (no
-    hex formatting, 8-byte integers instead of 32-char strings, one JVM
-    hash per shingle per k) — the signature the ENGINE should use at crawl
+    """Engine-native minhash — the signature the ENGINE should use at crawl
     scale. Not oracle-portable (DuckDB has no xxhash64), so the md5 variant
     stays as the oracle-paired query; near-dup recall properties are
-    identical (both are uniform hash families)."""
-    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    identical (both are uniform hash families).
+
+    Two cost levers vs the portable signature:
+    - shingles are never materialized as strings: each word n-gram is
+      hashed directly from its token columns (xxhash64 is variadic), so no
+      slice/array_join allocations;
+    - the k hash families reuse the one string-level hash: family k is
+      xxhash64(shingle_hash, k) over a LONG, not a re-hash of the string.
+    min() is duplicate-insensitive, so skipping array_distinct changes
+    nothing.
+    """
+    toks = word_tokens(text_col)
+    # F.get (0-based) returns null past the end instead of raising under
+    # ANSI mode (docs shorter than the shingle width hash a null-padded
+    # window — deterministic on both variants' terms)
+    def window_hash(i):
+        return F.xxhash64(*[F.get(F.col("toks"), i + j) for j in range(shingle_n)])
+
+    base = docs.select(F.col(id_col), toks.alias("toks")).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(F.col("toks")) - shingle_n, F.lit(0))
+            ),
+            window_hash,
+        ).alias("hs"),
+    )
 
     def mh(k: int):
         seed = F.lit(k)
         return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))
+            F.transform(F.col("hs"), lambda h: F.xxhash64(h, seed))
         ).alias(f"mh{k}")
 
-    return sh.select(F.col(id_col), *[mh(k) for k in range(n_hashes)])
+    return base.select(F.col(id_col), *[mh(k) for k in range(n_hashes)])
 
 
 def _banded_pairs_from_signature(sig: DataFrame, id_col: str, n_hashes: int,
@@ -213,28 +250,41 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 # --- SimHash ------------------------------------------------------------------
 
 
-def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over word tokens, engine-portable.
+def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n_bits: int = 16) -> DataFrame:
+    """n-bit SimHash over word tokens, engine-portable (n_bits <= 60).
 
-    Bit j of token t = bit j of the first 4 hex chars of md5(t); the
-    signature bit is the majority vote weighted +1/-1 over DISTINCT tokens.
-    """
+    Bit j of token t = bit j of the first ceil(n/4) hex chars of md5(t);
+    the signature bit is the majority vote weighted +1/-1 over DISTINCT
+    tokens. 16 bits is the oracle-checkable toy width; a CC-scale dedup
+    wants 60 (fewer random collisions per band — same banding machinery).
+    60, not 64: the value must fit a positive BIGINT in both engines."""
+    if n_bits > 60:
+        raise ValueError("n_bits <= 60 (positive BIGINT range in both engines)")
+    hex_chars = (n_bits + 3) // 4
     toks = docs.select(
         F.col(id_col), F.explode(F.array_distinct(word_tokens(text_col))).alias("tok")
     ).where(F.col("tok") != "")
-    toks = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    toks = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, hex_chars), 16, 10).cast("long")
+    )
     bit_cols = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(16)
+        for j in range(n_bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_cols)
     sig = None
-    for j in range(16):
+    for j in range(n_bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash (the oracle-paired width)."""
+    return simhash_bits(docs, id_col, text_col, n_bits=16)
 
 
 def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -249,22 +299,28 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 3,
-                          n_bands: int = 4) -> DataFrame:
+                          n_bands: int = 4, n_bits: int = 16) -> DataFrame:
     """All pairs (a < b) with Hamming(simhash_a, simhash_b) <= k.
 
-    Banding on 16/n_bands-bit nibbles: a pair within Hamming distance
+    Banding on (n_bits/n_bands)-bit nibbles: a pair within Hamming distance
     k < n_bands must agree exactly on >=1 band (pigeonhole), so the
     (band, nibble) equi-join has EXACT recall — this is the CC-crawl-scale
     plan (one shuffle, bucket fan-out bounded by band cardinality), not an
     approximation. Verification is a JVM-side popcount on the XOR.
+    n_bits=16 is the oracle-paired toy width (its Hamming<=3 ball is loose,
+    so the output itself is large on a similar-topic corpus); a production
+    crawl dedup uses n_bits=60, n_bands=4 — 15-bit bands, tight ball, same
+    plan (test-pinned against brute force at both widths).
 
     Reference analog (what, not how): duplicate-title collapse in the
     reference's entity merge (SURVEY.md §2 A-family); re-expressed as the
     standard simhash banding retrieval."""
     if k >= n_bands:
         raise ValueError("exact recall needs k < n_bands")
-    sig = simhash16(docs, id_col, text_col)
-    bits = 16 // n_bands
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    sig = simhash_bits(docs, id_col, text_col, n_bits=n_bits)
+    bits = n_bits // n_bands
     mask = (1 << bits) - 1
     banded = sig.select(
         F.col(id_col),

@@ -33,14 +33,24 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert all(a < b for a, b in pairs)
 
 
-def test_minhash_fast_matches_portable_on_dups(spark):
-    """The xxhash64 fast path must find every pair the md5 path finds on
-    exact/near dups (identical banding; only the hash family differs)."""
-    docs = _docs(spark)
-    slow = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs, shingle_n=2).collect()}
-    fast = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs_fast(docs, shingle_n=2).collect()}
-    assert (1, 2) in fast  # identical docs always collide
-    assert slow == fast  # same pairs on this fixture (both uniform families)
+def test_minhash_fast_finds_exact_dups(spark):
+    """The xxhash64 fast path shares the banding plan with the md5 path but
+    draws a different hash family, so near-dup luck differs pair-by-pair;
+    the hard contract is that identical texts ALWAYS collide (all bands
+    equal) and emitted pairs are ordered. Checked on the parquet fixture
+    corpus, which carries real exact-dup structure."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant exact duplicates: copies of the first 25 docs under new ids
+    dups = base.where("doc_id < 25").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(dups)
+    want = {(i, i + 100000) for i in range(25)}
+    fast = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs_fast(docs).collect()}
+    assert want <= fast  # every exact-dup pair is retrieved
+    assert all(a < b for a, b in fast)
 
 
 def test_ngram_jaccard(spark):
@@ -74,6 +84,38 @@ def test_simhash_hamming_banding_has_exact_recall(spark):
     }
     assert banded == brute
     assert len(brute) > 0  # fixture actually exercises the path
+
+
+def test_simhash_hamming_60bit_production_width(spark):
+    """Same exact-recall pigeonhole at the production width (60 bits,
+    15-bit bands): planted exact copies (hamming 0) and one-token edits
+    (small hamming) must come back; banded set == brute force."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    copies = base.where("doc_id < 15").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    edited = base.where("doc_id >= 15 AND doc_id < 30").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(copies).unionByName(edited)
+    sig = dedup.simhash_bits(docs, n_bits=60).collect()
+    brute = set()
+    for i, ra in enumerate(sig):
+        for rb in sig[i + 1:]:
+            a, b = sorted([ra["doc_id"], rb["doc_id"]])
+            if bin(ra["simhash"] ^ rb["simhash"]).count("1") <= 3:
+                brute.add((a, b))
+    banded = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_hamming_pairs(docs, k=3, n_bands=4, n_bits=60).collect()
+    }
+    assert banded == brute
+    assert {(i, i + 100000) for i in range(15)} <= banded  # exact copies found
+    # tight ball: the 60-bit Hamming<=3 set is sparse, nothing like the
+    # all-pairs blowup the 16-bit toy width produces on a similar corpus
+    n = 90
+    assert len(banded) < n * (n - 1) // 8
 
 
 def test_fingerprint_order_insensitive(spark):
