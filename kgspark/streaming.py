@@ -69,6 +69,110 @@ def run_stream_to_memory(spark: SparkSession, counts: DataFrame, name: str = "me
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "term string, session_start timestamp, session_end timestamp, n_mentions long"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def stream_mention_sessions(
+    pages_stream: DataFrame,
+    gazetteer: list[str],
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-term mention
+    SESSIONS — contiguous bursts of mentions separated by >= `gap` of
+    event-time silence. Emits one row per CLOSED session.
+
+    This is the operator Structured Streaming's built-ins can't express
+    (session windows need data-dependent extents): per-term state is
+    (start, last, n); new batches extend or roll the session, and an
+    event-time timeout (watermark passing last+gap) closes it. State is
+    bounded by the gazetteer vocabulary, and eviction is guaranteed by the
+    timeout — no unbounded growth on a 10^12-page stream.
+
+    Reference analog (what, not how): the reference's decade-grouped
+    temporal chains (assign_canonical_names.py:96-158) computed in batch;
+    here the same burst semantics run continuously."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _duration_to_us(gap)
+
+    toks = (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .withColumn("text2", F.coalesce(F.col("text"), extract_text_udf(F.col("html"))))
+        .select("warc_ts", F.explode(F.split(F.lower("text2"), r"\s+")).alias("term"))
+        .where(F.col("term").isin([g.lower() for g in gazetteer]))
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (term,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "term": [term],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_mentions": [n],
+                }
+            )
+            return
+        ts_us, n_new = [], 0
+        for pdf in pdfs:
+            t = pdf["warc_ts"].astype("int64") // 1000  # ns -> us
+            ts_us.extend(t.tolist())
+            n_new += len(pdf)
+        if not ts_us:
+            return
+        lo, hi = min(ts_us), max(ts_us)
+        closed = []
+        if state.exists:
+            start_us, last_us, n = state.get
+            if lo > last_us + gap_us:
+                # silence gap inside the data: close the old session now
+                closed.append((start_us, last_us, n))
+                state.update((lo, hi, n_new))
+            else:
+                state.update((min(start_us, lo), max(last_us, hi), n + n_new))
+        else:
+            state.update((lo, hi, n_new))
+        # close when the event-time watermark passes last+gap
+        _, last_us, _ = state.get
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "term": [term] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_mentions": [n for _, _, n in closed],
+                }
+            )
+
+    return toks.groupBy("term").applyInPandasWithState(
+        track,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_to_us(text: str) -> int:
+    n, unit = text.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    return int(n) * mult * 1_000_000
+
+
 _TRIPLE_KEY = ["subj", "pred", "obj", "src_url"]
 
 

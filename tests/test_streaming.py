@@ -96,3 +96,66 @@ def test_incremental_ingest_partition_scoped(tmp_path, spark):
     # idempotent: merging the same row again changes nothing anywhere
     again = streaming.merge_triples(spark, one, store)
     assert again.count() == n_merged
+
+
+def test_stream_mention_sessions_stateful(tmp_path, spark):
+    """applyInPandasWithState sessionizer: two bursts of 'canada' mentions
+    separated by > gap must come out as two closed sessions with the right
+    extents and counts; the second closes via the event-time timeout when
+    the watermark advances."""
+    import datetime as dt
+
+    pages_dir = str(tmp_path / "spages")
+
+    def page(url, ts, text):
+        return (url, ts, None, text, "en")
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def write(batch, rows):
+        spark.createDataFrame(rows, fixtures.PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+
+    # burst 1: 3 mentions within 10 minutes
+    write(1, [
+        page("u1", t0, "canada rises"),
+        page("u2", t0 + dt.timedelta(minutes=5), "canada again"),
+        page("u3", t0 + dt.timedelta(minutes=10), "canada indeed"),
+    ])
+    stream = streaming.stream_pages(spark, pages_dir)
+    sessions = streaming.stream_mention_sessions(
+        stream, ["Canada"], gap="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # burst 2: far later (gap exceeded) -> closes burst 1 in-batch or
+        # via timeout once the watermark moves past last+gap
+        write(2, [
+            page("u4", t0 + dt.timedelta(hours=3), "canada returns"),
+            page("u5", t0 + dt.timedelta(hours=3, minutes=2), "canada stays"),
+        ])
+        q.processAllAvailable()
+        # flush batch: advances the watermark beyond burst-2's last+gap so
+        # the event-time timeout fires and closes burst 2 (no 'canada' here)
+        write(3, [page("u6", t0 + dt.timedelta(hours=9), "nothing relevant")])
+        q.processAllAvailable()
+        write(4, [page("u7", t0 + dt.timedelta(hours=10), "still nothing")])
+        q.processAllAvailable()
+        got = spark.sql("select * from t_sessions").collect()
+    finally:
+        q.stop()
+
+    sessions_out = {
+        (r["session_start"], r["session_end"]): r["n_mentions"] for r in got
+    }
+    assert sessions_out.get((t0, t0 + dt.timedelta(minutes=10))) == 3
+    b2 = (t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=3, minutes=2))
+    assert sessions_out.get(b2) == 2
+    assert len(sessions_out) == 2
