@@ -149,12 +149,44 @@ def main() -> None:
     n_threads = int(m.group(1)) if m else 2
     s = sentinel_sec(n_threads)
 
+    # Mid-run steal watchdog: the parent's clean-gate is 0.15 stolen
+    # cores/s averaged over the run; once the cumulative stolen core-time
+    # exceeds what even a long run could amortize (0.15 x 400s = 60
+    # core-sec), this round is mathematically doomed — kill it after ~2
+    # minutes of burst instead of finishing a 10-minute run the gate will
+    # discard anyway. os._exit from the daemon thread: the JVM dies with
+    # us, the parent treats the aborted JSON line like a failed side.
+    import threading
+
+    abort_budget_core_sec = float(
+        os.environ.get("BENCH_MIDRUN_ABORT_CORE_SEC", "60")
+    )
+
+    def watchdog(st_base: int) -> None:
+        while True:
+            time.sleep(15)
+            stolen = (read_steal_ticks() - st_base) / 100.0
+            if stolen > abort_budget_core_sec:
+                print(
+                    json.dumps(
+                        {
+                            "master": master,
+                            "pages": n_pages,
+                            "aborted": "steal_mid_run",
+                            "stolen_core_sec": round(stolen, 1),
+                        }
+                    ),
+                    flush=True,
+                )
+                os._exit(0)
+
     # The timed section covers the WHOLE job — plan construction, the
     # canonicalization loop (which executes inside run_pipeline), and the
     # final materialization. (A plan/exec split was tried and reverted:
     # connected-components runs its frontier jobs during pipeline
     # construction, so "plan time" would silently hide real work.)
     st0 = read_steal_ticks()
+    threading.Thread(target=watchdog, args=(st0,), daemon=True).start()
     t0 = time.time()
     out = run_pipeline(
         spark,
