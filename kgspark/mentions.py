@@ -102,12 +102,34 @@ def _build_scanner(gazetteer: list[str], regions: list[str], use_ac: bool | None
         def gaz_scan(text: str) -> set[str]:
             return {m.group(1) for m in gaz_re.finditer(text)}
 
-    # one alternation over all regions (one pass, not one per region)
-    region_re = (
-        re.compile(r"\b(" + "|".join(re.escape(r) for r in sorted(set(regions))) + r")\b")
+    # One lookahead alternation over all regions: ONE pass finds candidate
+    # start positions without consuming text, then each region is tested at
+    # that position — so overlapping regions ('York' inside 'York County')
+    # are BOTH recorded, exactly like the per-region search() this replaces.
+    # A plain consuming alternation has first-alternative-wins semantics and
+    # eats the matched span, silently dropping co-occurring regions.
+    region_list = sorted(set(regions), key=len, reverse=True)
+    region_probe = (
+        re.compile(r"\b(?=(" + "|".join(re.escape(r) for r in region_list) + r"))")
         if regions
         else None
     )
+
+    def region_scan(text: str) -> list[str]:
+        if region_probe is None:
+            return []
+        found: set[str] = set()
+        for m in region_probe.finditer(text):
+            pos = m.start()
+            for r in region_list:
+                if r not in found and text.startswith(r, pos):
+                    e = pos + len(r)
+                    # word boundary at the end (start boundary is the \b)
+                    if e == len(text) or not (text[e].isalnum() or text[e] == "_"):
+                        found.add(r)
+            if len(found) == len(region_list):
+                break
+        return sorted(found)
 
     def scan_text(text: str):
         if not text:
@@ -135,8 +157,7 @@ def _build_scanner(gazetteer: list[str], regions: list[str], use_ac: bool | None
         mentions.extend(
             {"surface": s, "kind": "relation_arg"} for s in sorted(rel_args - gaz_hits)
         )
-        ctx = sorted(set(region_re.findall(text))) if region_re is not None else []
-        return mentions, relations, ctx
+        return mentions, relations, region_scan(text)
 
     return scan_text
 

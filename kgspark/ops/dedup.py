@@ -121,13 +121,21 @@ def minhash_signature_fast(docs: DataFrame, id_col: str, text_col: str,
     def window_hash(i):
         return F.xxhash64(*[F.get(F.col("toks"), i + j) for j in range(shingle_n)])
 
+    # Null text must yield a NULL signature, not a constant one: xxhash64
+    # over an all-null window is a seed constant (and greatest(null, 0)
+    # swallows the null size), so without the guard every null-text doc
+    # shares one signature and the banding join emits O(n^2) spurious
+    # pairs (round-3 advice). Banding drops null signatures.
     base = docs.select(F.col(id_col), toks.alias("toks")).select(
         F.col(id_col),
-        F.transform(
-            F.sequence(
-                F.lit(0), F.greatest(F.size(F.col("toks")) - shingle_n, F.lit(0))
+        F.when(
+            F.col("toks").isNotNull(),
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(F.col("toks")) - shingle_n, F.lit(0))
+                ),
+                window_hash,
             ),
-            window_hash,
         ).alias("hs"),
     )
 
@@ -145,7 +153,12 @@ def _banded_pairs_from_signature(sig: DataFrame, id_col: str, n_hashes: int,
     """(a < b) candidate pairs from any mh0..mhK-1 signature frame: band
     keys combine R minhashes, one equi-join on (band, band_key)."""
     r = n_hashes // n_bands
-    banded = sig.select(
+    # Null signatures (null text -> no shingles) are excluded: xxhash64
+    # silently SKIPS null inputs, so unfiltered they would all collapse to
+    # the identical seed-only band key and emit O(n^2) spurious pairs.
+    # Similarity is undefined for shingle-less docs — empty-doc dedup
+    # belongs to exact_dedup, not LSH.
+    banded = sig.where(F.col("mh0").isNotNull()).select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -172,7 +185,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     md5 signature — matches the DuckDB oracle bit-for-bit)."""
     sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_n)
     r = n_hashes // n_bands
-    banded = sig.select(
+    # null signatures dropped for the same reason as the fast path:
+    # concat_ws SKIPS nulls, so null-text docs would all band on md5("")
+    banded = sig.where(F.col("mh0").isNotNull()).select(
         F.col(id_col),
         F.posexplode(
             F.array(

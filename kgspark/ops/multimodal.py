@@ -65,10 +65,20 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
         while i + 9 < len(b):
             if b[i] != 0xFF:
                 return None
+            # 0xFF is also a legal fill/padding byte before a marker —
+            # skip the run instead of misreading a bogus segment length
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 9 >= len(b):
+                return None
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if marker in (0xDA, 0xD9):
+                # SOS starts entropy-coded data (no segment table past it)
+                # and EOI ends the stream: no SOFn was seen — stop cleanly
+                return None
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])

@@ -121,25 +121,40 @@ def stream_mention_sessions(
                 }
             )
             return
-        ts_us, n_new = [], 0
+        ts_us: list[int] = []
         for pdf in pdfs:
             t = pdf["warc_ts"].astype("int64") // 1000  # ns -> us
             ts_us.extend(t.tolist())
-            n_new += len(pdf)
         if not ts_us:
             return
-        lo, hi = min(ts_us), max(ts_us)
+        # Split THIS batch's timestamps on silence gaps >= gap_us: one
+        # trigger can carry several bursts (the file source's first batch
+        # backfills every pre-existing file), and merging them to a single
+        # (min, max, count) would bridge the silence between them.
+        ts_us.sort()
+        runs: list[tuple[int, int, int]] = []  # (start, end, n) bursts
+        s, e, n = ts_us[0], ts_us[0], 1
+        for t in ts_us[1:]:
+            if t > e + gap_us:
+                runs.append((s, e, n))
+                s, e, n = t, t, 1
+            else:
+                e, n = t, n + 1
+        runs.append((s, e, n))
         closed = []
         if state.exists:
-            start_us, last_us, n = state.get
-            if lo > last_us + gap_us:
-                # silence gap inside the data: close the old session now
-                closed.append((start_us, last_us, n))
-                state.update((lo, hi, n_new))
+            start_us, last_us, cnt = state.get
+            if runs[0][0] > last_us + gap_us:
+                # silence between the stored session and the batch: close it
+                closed.append((start_us, last_us, cnt))
             else:
-                state.update((min(start_us, lo), max(last_us, hi), n + n_new))
-        else:
-            state.update((lo, hi, n_new))
+                r0 = runs[0]
+                runs[0] = (min(start_us, r0[0]), max(last_us, r0[1]), cnt + r0[2])
+        # every burst but the trailing one is followed by >= gap of silence
+        # within the batch itself — close them now; the trailing burst stays
+        # open in state (the next batch or the timeout decides its fate)
+        closed.extend(runs[:-1])
+        state.update(runs[-1])
         # close when the event-time watermark passes last+gap
         _, last_us, _ = state.get
         state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)

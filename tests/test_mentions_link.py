@@ -146,3 +146,20 @@ def test_fused_relation_scan_matches_per_pattern():
         assert old == new
         n_rels += len(new)
     assert n_rels > 0
+
+
+def test_overlapping_regions_both_recorded():
+    """Regions that overlap ('York' inside 'York County') must BOTH land in
+    ctx_regions — a consuming alternation has first-alternative-wins
+    semantics and silently drops the co-occurring region (round-3 advice)."""
+    from kgspark.mentions import _build_scanner
+
+    scan = _build_scanner(["Canada"], ["York", "York County", "Canada"])
+    _, _, ctx = scan("He moved to York County after Canada confederated.")
+    assert ctx == ["Canada", "York", "York County"]
+    # word boundaries still respected: 'Yorkshire' is not 'York'
+    _, _, ctx2 = scan("Yorkshire is elsewhere.")
+    assert ctx2 == []
+    # region at end-of-text keeps its end boundary
+    _, _, ctx3 = scan("They settled in York")
+    assert ctx3 == ["York"]

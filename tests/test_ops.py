@@ -279,3 +279,46 @@ def test_multimodal_frame_sampling(spark):
     assert len(pdf) > 0
     per = pdf.groupby("media_id").size()
     assert (per >= 2).all()  # durations are 2-6s
+
+
+def test_jpeg_fill_bytes_and_sos():
+    """JPEG parsing: 0xFF fill/padding runs before a marker are legal and
+    must be skipped, and the segment walk must stop at SOS/EOI instead of
+    wandering into entropy-coded data (round-3 advice)."""
+    import struct
+
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + bytes([8])
+        + struct.pack(">HH", 200, 320) + bytes([3])
+    )
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    # fill run between segments (and right after SOI)
+    b = b"\xff\xd8" + b"\xff\xff" + app0 + b"\xff\xff\xff" + sof0
+    assert multimodal.parse_image_header(b + b"x" * 16) == (320, 200, 3)
+    # SOS before any SOFn: clean None, no walk into entropy-coded bytes
+    sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+    entropy = b"\x12\xff\x00\x34" * 8  # 0xFF00 byte-stuffing lookalikes
+    assert multimodal.parse_image_header(b"\xff\xd8" + sos + entropy) is None
+    # EOI terminates the walk
+    assert multimodal.parse_image_header(b"\xff\xd8\xff\xd9" + b"z" * 24) is None
+
+
+def test_minhash_fast_null_text_no_pair_explosion(spark):
+    """Docs with null text (null signatures) must not collapse into one
+    band bucket in the fast path — xxhash64 skips nulls, so unfiltered null
+    signatures would all share the seed-only band key and emit O(n^2)
+    spurious pairs (round-3 advice)."""
+    rows = [("d0", "alpha beta gamma delta epsilon zeta"),
+            ("d1", "alpha beta gamma delta epsilon zeta"),
+            ("d2", None), ("d3", None), ("d4", None)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs_fast(docs).collect()
+    }
+    assert pairs == {("d0", "d1")}
+    # parity with the portable md5 path on the same frame
+    portable = {
+        (r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs == portable

@@ -159,3 +159,54 @@ def test_stream_mention_sessions_stateful(tmp_path, spark):
     b2 = (t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=3, minutes=2))
     assert sessions_out.get(b2) == 2
     assert len(sessions_out) == 2
+
+
+def test_stream_sessions_split_within_one_batch(tmp_path, spark):
+    """Two bursts separated by > gap arriving in the SAME microbatch (the
+    file source's backfill batch reads every pre-existing file) must still
+    come out as two sessions — the batch is split on internal silence gaps
+    rather than collapsed to one (min, max, count) span (round-3 advice)."""
+    import datetime as dt
+
+    pages_dir = str(tmp_path / "spages2")
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, None, "canada rises", "en"),
+        ("u2", t0 + dt.timedelta(minutes=5), None, "canada again", "en"),
+        # > 30 min silence inside the same file
+        ("u3", t0 + dt.timedelta(hours=2), None, "canada returns", "en"),
+        ("u4", t0 + dt.timedelta(hours=2, minutes=3), None, "canada stays", "en"),
+        ("u5", t0 + dt.timedelta(hours=2, minutes=6), None, "canada remains", "en"),
+    ]
+    spark.createDataFrame(rows, fixtures.PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(pages_dir)
+
+    stream = streaming.stream_pages(spark, pages_dir)
+    sessions = streaming.stream_mention_sessions(
+        stream, ["Canada"], gap="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions_onebatch")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark so the trailing open session times out
+        for i, hours in enumerate((9, 10)):
+            spark.createDataFrame(
+                [(f"f{i}", t0 + dt.timedelta(hours=hours), None, "filler", "en")],
+                fixtures.PAGES_SCHEMA,
+            ).coalesce(1).write.mode("append").parquet(pages_dir)
+            q.processAllAvailable()
+        got = spark.sql("select * from t_sessions_onebatch").collect()
+    finally:
+        q.stop()
+
+    out = {(r["session_start"], r["session_end"]): r["n_mentions"] for r in got}
+    assert out.get((t0, t0 + dt.timedelta(minutes=5))) == 2
+    b2 = (t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=2, minutes=6))
+    assert out.get(b2) == 3
+    assert len(out) == 2

@@ -1,9 +1,10 @@
-"""One scaling-bench measurement in a FRESH process.
+"""One scaling-bench measurement in a FRESH process, PINNED to its own vCPUs.
 
-Usage: python tools/bench_scaling_child.py <master> <n_pages>
+Usage: python tools/bench_scaling_child.py <master> <n_pages> [--stages]
 
 Prints exactly one JSON line on stdout:
-  {"master": ..., "pages": N, "triples": N, "dt_sec": s, "sentinel_sec": s}
+  {"master": ..., "pages": N, "triples": N, "dt_sec": s, "dt_corr_sec": s,
+   "sentinel_sec": s, "steal_core_sec": s, "steal_frac_cap": f, ...}
 
 Why a subprocess per measurement (rather than SparkSession restarts in one
 process): PySpark's internal Python-accumulator server does not survive
@@ -13,26 +14,70 @@ timings. A fresh JVM + fresh interpreter per measurement gives fully
 independent, residue-free observations; JVM/JIT warmup happens inside the
 child (untimed small pipeline run) so the timed run measures the engine.
 
+CPU pinning (the round-4 fix for the contamination dead-end): the guest
+exposes 32 topology-flat vCPUs (no SMT sibling info — host hyperthread
+pairing is invisible), and machine-wide steal gating discards rounds for
+noise on the ~28 vCPUs the job never touches. Instead the child pins itself
+— and therefore the JVM, its GC/shuffle threads, and every forked pyspark
+worker — to exactly n_threads vCPUs via sched_setaffinity BEFORE the JVM
+starts (Java sizes availableProcessors from the affinity mask). This is the
+same resource envelope a real cluster gives an executor (cgroup cpuset), and
+it lets steal be measured per-CPU on precisely the vCPUs the job runs on:
+
+  - steal_core_sec: stolen core-seconds summed over the PINNED vCPUs across
+    the timed run (/proc/stat cpuN field 8 delta) — noise elsewhere on the
+    box no longer voids the round;
+  - dt_corr_sec = dt - steal_core_sec / n_pinned: work-conserving steal
+    correction. Valid because the pinned set is saturated (the pipeline is
+    ~95% embarrassingly-parallel map work over many small Arrow batches, so
+    a stolen slice on one vCPU redistributes); the parent only trusts the
+    correction up to a bounded steal fraction and labels the estimator.
+
 The sentinel is a fixed PARALLEL spin: as many worker processes as the
 master has threads, each doing the same fixed pure-Python loop; the wall
-time of the slowest worker is reported. A single-thread sentinel cannot see
-the failure mode that matters here — a neighbor hogging most of the VM's
-cores leaves one thread fast but an 8-thread job starved (observed: clean
-single-thread sentinel while the same pipeline ran 3x slow). The parent
-compares sentinels PER MASTER (an 8-proc spin is only comparable to another
-8-proc spin) and discards rounds >1.3x the per-master best.
+time of the slowest worker is reported. It runs inside the pinned set, so
+it measures the effective speed of the vCPUs this child actually owns.
 """
 
 from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import re
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Base vCPU for auto-pinning. The low side's set is a SUBSET of the high
+# side's ({16,17} vs {16..20}), so both sides of a scaling round sample the
+# same host cores. vCPU 0 is avoided (guest IRQ/housekeeping).
+PIN_BASE = int(os.environ.get("BENCH_PIN_BASE", "16"))
+# Extra vCPUs beyond the task-thread count: the "driver node". On a real
+# cluster the driver/AM runs on its own machine; pinning the Python driver
+# + JVM housekeeping onto the single task vCPU of the low side serializes
+# them against task work and over-penalizes that side (measured: local[1]
+# 54s on 1 vCPU vs ~36s unpinned at 6k pages), which would INFLATE the
+# efficiency ratio. +1 on both sides keeps task resources at exactly 4x
+# with an identical driver envelope — N-core-executor + driver node.
+PIN_EXTRA = int(os.environ.get("BENCH_PIN_EXTRA", "1"))
+
+
+def pin_cpus(n_threads: int) -> list[int]:
+    """Pin this process (and all future children: JVM, pyspark workers) to
+    n_threads + PIN_EXTRA dedicated vCPUs. BENCH_PIN=off disables;
+    BENCH_PIN=a,b,c pins to an explicit list."""
+    spec = os.environ.get("BENCH_PIN", "auto")
+    if spec == "off":
+        return []
+    if spec == "auto":
+        cpus = list(range(PIN_BASE, PIN_BASE + n_threads + PIN_EXTRA))
+    else:
+        cpus = [int(c) for c in spec.split(",")]
+    os.sched_setaffinity(0, cpus)
+    return cpus
 
 
 def _spin(_arg: int) -> int:
@@ -54,22 +99,34 @@ def sentinel_sec(n_procs: int) -> float:
     return best
 
 
-def read_steal_ticks() -> int:
-    """Hypervisor steal ticks from /proc/stat (field 8 of the cpu line).
-    Unlike the sentinel (a point-in-time probe), the before/after delta
-    covers the WHOLE timed run — a mid-run steal burst is visible here and
-    in nothing else."""
+def read_steal_ticks(cpus: list[int] | None = None) -> int:
+    """Hypervisor steal ticks from /proc/stat (field 8). With `cpus`, sums
+    the per-CPU lines for exactly those vCPUs — the steal the pinned job
+    actually experienced; without, the machine-wide aggregate. Unlike a
+    point-in-time probe, the before/after delta covers the WHOLE timed run —
+    a mid-run steal burst is visible here and in nothing else."""
     with open("/proc/stat") as f:
-        parts = f.readline().split()
-    return int(parts[8])
+        if cpus is None:
+            return int(f.readline().split()[8])
+        want = {f"cpu{c}" for c in cpus}
+        total = 0
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] in want:
+                total += int(parts[8])
+        return total
 
 
 def main() -> None:
-    import os
-
     master = sys.argv[1]
     n_pages = int(sys.argv[2])
     stages_mode = "--stages" in sys.argv[3:]
+
+    m = re.match(r"local\[(\d+)\]", master)
+    n_threads = int(m.group(1)) if m else 2
+    pinned = pin_cpus(n_threads)
+    n_cap = len(pinned) or n_threads  # capacity in vCPUs for steal math
+
     # Realistic page weight: the fixture's sentence skeleton is ~0.6KB of
     # html — toy-sized next to Common-Crawl pages (tens of KB). The bench
     # corpus carries ~13KB/page of pattern-inert filler so the measured
@@ -99,12 +156,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    def steal_now() -> int:
+        return read_steal_ticks(pinned if pinned else None)
+
     # untimed warmup: JIT + Arrow/pandas import on workers. Steal is also
-    # measured ACROSS the warmup: if the host is already in a burst, abort
-    # now (~1 min sunk) instead of burning a full timed round that the
-    # parent's clean-gate would discard anyway (~5-10 min sunk).
-    abort_rate = float(os.environ.get("BENCH_CHILD_ABORT_RATE", "0.3"))
-    wst0, wt0 = read_steal_ticks(), time.time()
+    # measured ACROSS the warmup: if more than half our pinned capacity is
+    # being stolen right now, even the corrected number would be noise —
+    # abort (~1 min sunk) instead of burning a full timed round.
+    abort_frac = float(os.environ.get("BENCH_CHILD_ABORT_FRAC", "0.5"))
+    wst0, wt0 = steal_now(), time.time()
     warm = run_pipeline(
         spark,
         fixtures.gen_pages(spark, max(n_pages // 50, 500), bulk_words=bulk_words),
@@ -112,15 +172,17 @@ def main() -> None:
     )
     warm["triples"].count()
     unpersist_all(spark)
-    warm_rate = (read_steal_ticks() - wst0) / 100.0 / max(time.time() - wt0, 0.1)
-    if not stages_mode and warm_rate > abort_rate:
+    warm_dt = max(time.time() - wt0, 0.1)
+    warm_frac = (steal_now() - wst0) / 100.0 / (warm_dt * n_cap)
+    if not stages_mode and warm_frac > abort_frac:
         print(
             json.dumps(
                 {
                     "master": master,
                     "pages": n_pages,
                     "aborted": "steal_during_warmup",
-                    "warmup_steal_rate": round(warm_rate, 3),
+                    "warmup_steal_frac_cap": round(warm_frac, 3),
+                    "pinned": pinned,
                 }
             )
         )
@@ -145,28 +207,25 @@ def main() -> None:
         spark.stop()
         return
 
-    m = re.match(r"local\[(\d+)\]", master)
-    n_threads = int(m.group(1)) if m else 2
     s = sentinel_sec(n_threads)
 
-    # Mid-run steal watchdog: the parent's clean-gate is 0.15 stolen
-    # cores/s averaged over the run; once the cumulative stolen core-time
-    # exceeds what even a long run could amortize (0.15 x 400s = 60
-    # core-sec), this round is mathematically doomed — kill it after ~2
-    # minutes of burst instead of finishing a 10-minute run the gate will
-    # discard anyway. os._exit from the daemon thread: the JVM dies with
-    # us, the parent treats the aborted JSON line like a failed side.
+    # Mid-run steal watchdog: the parent corrects runs up to a bounded steal
+    # fraction of pinned capacity; once MORE than half our capacity has been
+    # stolen for a sustained stretch the round is unsalvageable even
+    # corrected — kill it instead of finishing a run nothing will trust.
+    # os._exit from the daemon thread: the JVM dies with us, the parent
+    # treats the aborted JSON line like a failed side.
     import threading
 
-    abort_budget_core_sec = float(
-        os.environ.get("BENCH_MIDRUN_ABORT_CORE_SEC", "60")
-    )
+    abort_mid_frac = float(os.environ.get("BENCH_MIDRUN_ABORT_FRAC", "0.5"))
+    abort_min_elapsed = float(os.environ.get("BENCH_MIDRUN_ABORT_MIN_SEC", "60"))
 
-    def watchdog(st_base: int) -> None:
+    def watchdog(st_base: int, t_base: float) -> None:
         while True:
             time.sleep(15)
-            stolen = (read_steal_ticks() - st_base) / 100.0
-            if stolen > abort_budget_core_sec:
+            elapsed = time.time() - t_base
+            stolen = (steal_now() - st_base) / 100.0
+            if elapsed >= abort_min_elapsed and stolen > abort_mid_frac * elapsed * n_cap:
                 print(
                     json.dumps(
                         {
@@ -174,6 +233,7 @@ def main() -> None:
                             "pages": n_pages,
                             "aborted": "steal_mid_run",
                             "stolen_core_sec": round(stolen, 1),
+                            "pinned": pinned,
                         }
                     ),
                     flush=True,
@@ -185,9 +245,10 @@ def main() -> None:
     # final materialization. (A plan/exec split was tried and reverted:
     # connected-components runs its frontier jobs during pipeline
     # construction, so "plan time" would silently hide real work.)
-    st0 = read_steal_ticks()
-    threading.Thread(target=watchdog, args=(st0,), daemon=True).start()
+    mst0 = read_steal_ticks()  # machine-wide, for context only
+    st0 = steal_now()
     t0 = time.time()
+    threading.Thread(target=watchdog, args=(st0, t0), daemon=True).start()
     out = run_pipeline(
         spark,
         fixtures.gen_pages(spark, n_pages, bulk_words=bulk_words),
@@ -195,7 +256,8 @@ def main() -> None:
     )
     n_triples = out["triples"].count()
     dt = time.time() - t0
-    steal_core_sec = (read_steal_ticks() - st0) / 100.0
+    steal_core_sec = (steal_now() - st0) / 100.0
+    machine_steal_rate = (read_steal_ticks() - mst0) / 100.0 / dt
 
     print(
         json.dumps(
@@ -204,17 +266,18 @@ def main() -> None:
                 "pages": n_pages,
                 "triples": n_triples,
                 "dt_sec": round(dt, 2),
+                # work-conserving steal correction over the pinned set (see
+                # module docstring); equals dt_sec on a quiet host
+                "dt_corr_sec": round(dt - steal_core_sec / n_cap, 2),
                 "sentinel_sec": round(s, 3),
+                "pinned": pinned,
+                # stolen core-seconds on OUR vCPUs across the timed run
                 "steal_core_sec": round(steal_core_sec, 1),
-                # steal as a fraction of the core-time this run needed
-                "steal_frac": round(steal_core_sec / (dt * n_threads), 3),
-                # machine-wide stolen cores per wall-second: the side-
-                # symmetric contention gauge (steal_frac divides by
-                # n_threads, which makes the same ambient pressure look 4x
-                # worse on the 1-thread side — measured: ~0.7 cores/s
-                # ambient reads as frac 0.70 at local[1] vs 0.17 at
-                # local[4])
-                "steal_rate": round(steal_core_sec / dt, 3),
+                # fraction of pinned capacity stolen — the clean/corrected
+                # gate; symmetric across sides by construction
+                "steal_frac_cap": round(steal_core_sec / (dt * n_cap), 4),
+                # machine-wide stolen cores/s (context only — the old gate)
+                "machine_steal_rate": round(machine_steal_rate, 3),
             }
         )
     )
