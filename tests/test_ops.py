@@ -260,6 +260,12 @@ def test_multimodal_decode_plumbing(spark):
         if i % 3
     }
     assert {r["media_id"]: (r["width"], r["height"]) for r in rows} == want
+    # stdlib-decodable formats report true pixel luma; the rest the proxy
+    srcs = {r["media_id"]: r["luma_src"] for r in rows}
+    for i in range(30):
+        if i % 3:
+            expect = "pixel" if i % 4 in (0, 3) else "proxy"  # png/bmp vs gif/jpeg
+            assert srcs[f"m{i:04d}"] == expect, i
 
 
 def test_image_header_parse_formats():
@@ -268,7 +274,7 @@ def test_image_header_parse_formats():
         assert multimodal.parse_image_header(b) == (320, 200, ch), fmt
     # non-image payloads are flagged, not crashed
     assert multimodal.parse_image_header(b"not an image at all, promise") is None
-    assert multimodal.decode_image_header(None) == (0, 0, 0, 0.0, False)
+    assert multimodal.decode_image_header(None) == (0, 0, 0, 0.0, False, "none")
     assert multimodal.decode_image_header(b"\xff\xd8 truncated")[4] is False
 
 
@@ -322,3 +328,34 @@ def test_minhash_fast_null_text_no_pair_explosion(spark):
         (r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
     }
     assert pairs == portable
+
+
+def test_png_bmp_real_pixel_luma():
+    """PNG (all 5 scanline filters) and BMP pixel decodes recover the exact
+    Rec.601 mean luma of known pixel data — no proxy involved."""
+    import numpy as np
+
+    # uniform color: luma is exact and filter-independent
+    px = np.zeros((5, 7, 3), np.uint8)
+    px[:, :] = (100, 150, 200)
+    want = round((0.299 * 100 + 0.587 * 150 + 0.114 * 200) / 255.0, 6)
+    for ft in range(5):
+        b = multimodal.make_png_bytes(7, 5, px, filter_type=ft)
+        assert multimodal.decode_image_header(b) == (7, 5, 3, want, True, "pixel"), ft
+    bmp = multimodal.make_bmp_bytes(7, 5, px)
+    assert multimodal.decode_image_header(bmp) == (7, 5, 3, want, True, "pixel")
+
+    # gradient: every filter type reconstructs the same pixels as BMP raw
+    grad = (np.arange(11 * 6 * 3, dtype=np.int64) * 13 % 256).astype(np.uint8)
+    grad = grad.reshape(6, 11, 3)
+    ref = multimodal.decode_image_header(multimodal.make_bmp_bytes(11, 6, grad))
+    for ft in range(5):
+        got = multimodal.decode_image_header(
+            multimodal.make_png_bytes(11, 6, grad, filter_type=ft)
+        )
+        assert got == ref, ft
+
+    # header-only PNG (no IDAT) falls back to header dims + proxy luma
+    hdr_only = multimodal.make_image_bytes("png", 320, 200, b"somefiller" * 3)
+    w, h, ch, _, ok, src = multimodal.decode_image_header(hdr_only)
+    assert (w, h, ok, src) == (320, 200, True, "proxy")
