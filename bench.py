@@ -60,6 +60,22 @@ MAX_REPEATS = int(os.environ.get("BENCH_MAX_REPEATS", "8"))
 # every round "contaminated" while a clean-window rerun measured eff 1.01).
 CLEAN_FRAC = float(os.environ.get("BENCH_CLEAN_FRAC", "0.05"))
 CORR_FRAC = float(os.environ.get("BENCH_CORR_FRAC", "0.35"))
+# Two further contamination signals that pinned steal cannot see
+# (measured: a 1.1 cores/s machine-wide burst ran the pipeline 2.5-3.5x
+# slow at < 5% pinned steal — host SMT/memory-bandwidth pressure leaves no
+# steal ticks, and a register-bound spin sentinel reads normal):
+#   - machine-wide steal rate as an ENVIRONMENT indicator: the clean tier
+#     requires <= MACHINE_MAX stolen cores/s on both sides (looser than
+#     round 3's 0.15 gate — pinning shields direct theft; this only
+#     excludes the heavy episodes that distort through the host);
+#   - a RELATIVE BAND on the pipeline's own wall time, the one signal that
+#     sees every form of contention: each side must run within
+#     REL_BAND x that side's best across all completed rounds (clean
+#     tier; REL_BAND_CORR for the corrected tier). local[1] at 45k pages
+#     repeats within ~4% across quiet windows, so 1.3x is generous.
+MACHINE_MAX = float(os.environ.get("BENCH_MACHINE_MAX", "0.35"))
+REL_BAND = float(os.environ.get("BENCH_REL_BAND", "1.3"))
+REL_BAND_CORR = float(os.environ.get("BENCH_REL_BAND_CORR", "1.5"))
 # Hard wall-clock budget for the scaling phase: stop adding rounds when
 # exceeded even if the efficiency target hasn't been hit — a bench that
 # outlives its caller's patience records nothing at all.
@@ -68,8 +84,12 @@ TIME_BUDGET_SEC = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "2400"))
 # parallel spin PINNED to the high side's vCPU set and waits (bounded) for
 # a quiet window rather than burning a round into a contention episode.
 QUIET_CEILING = float(os.environ.get("BENCH_QUIET_CEILING", "0.8"))
-QUIET_WAITS = int(os.environ.get("BENCH_QUIET_WAITS", "6"))
-QUIET_SLEEP_SEC = float(os.environ.get("BENCH_QUIET_SLEEP_SEC", "30"))
+# Heavy host episodes last tens of minutes; waiting ~14 min beats burning
+# a 15-minute round the gates will reject (waits are cheap spins). After
+# QUIET_WAITS attempts the round starts anyway — classification, not the
+# scheduler, has the final word.
+QUIET_WAITS = int(os.environ.get("BENCH_QUIET_WAITS", "18"))
+QUIET_SLEEP_SEC = float(os.environ.get("BENCH_QUIET_SLEEP_SEC", "45"))
 # Scaling pair: this sandbox VM exposes 32 hyperthreads over ~16 physical
 # cores (a pure-JVM compute kernel saturates at ~2.3x going 8->32 threads),
 # so the N vs 4N comparison must stay well inside the physical core budget.
@@ -168,13 +188,17 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
       - rounds are interleaved low/high pairs with an explicit round index
         — ratios are only ever computed WITHIN a round, never across;
       - TIERED estimator: a round is CLEAN when both sides lost <=
-        CLEAN_FRAC of pinned capacity to steal; the primary efficiency is
-        the MEDIAN of clean-round raw ratios. If NO round is clean, the
-        fallback is the median of steal-CORRECTED ratios over rounds
-        within CORR_FRAC (work-conserving correction, valid for this
-        ~95%-map job), labeled `estimator: "steal_corrected"`. Rounds
-        beyond CORR_FRAC are reported but never estimated from. Only a
-        bench with zero completed rounds records `valid: false`;
+        CLEAN_FRAC of pinned capacity to steal AND saw <= MACHINE_MAX
+        machine-wide stolen cores/s AND ran within REL_BAND of that
+        side's best wall time across rounds (three independent
+        contamination signals — see the gate comments above); the primary
+        efficiency is the MEDIAN of clean-round raw ratios. If NO round
+        is clean, the fallback is the median of steal-CORRECTED ratios
+        over rounds within CORR_FRAC and REL_BAND_CORR (work-conserving
+        correction, valid for this ~95%-map job), labeled `estimator:
+        "steal_corrected"`. Rounds beyond those bounds are reported but
+        never estimated from. Only a bench with zero completed rounds
+        records `valid: false`;
       - sampling stops only on (a) >= `repeats` clean rounds collected,
         (b) MAX_REPEATS total rounds, or (c) the wall budget — never on
         the efficiency value itself (no stop-when-it-looks-good bias).
@@ -185,20 +209,45 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
     def frac(o: dict) -> float:
         return o.get("steal_frac_cap", 9.9)
 
+    def machine(o: dict) -> float:
+        return o.get("machine_steal_rate", 9.9)
+
+    def _complete(r: dict) -> bool:
+        return r["low"] is not None and r["high"] is not None
+
+    def side_best(key: str) -> dict[str, float]:
+        done = [r for r in rounds if _complete(r)]
+        return {
+            s: min(r[s].get(key, r[s]["dt_sec"]) for r in done)
+            for s in ("low", "high")
+        }
+
+    def in_band(r: dict, key: str, band: float) -> bool:
+        best = side_best(key)
+        return all(
+            r[s].get(key, r[s]["dt_sec"]) <= band * best[s] for s in ("low", "high")
+        )
+
     def round_clean(r: dict) -> bool:
+        # pinned steal AND machine environment AND the pipeline's own wall
+        # time (relative to each side's best round) must all be quiet —
+        # see the gate comments at the top of the file for why one signal
+        # alone is not enough on this host
         return (
-            r["low"] is not None
-            and r["high"] is not None
+            _complete(r)
             and frac(r["low"]) <= CLEAN_FRAC
             and frac(r["high"]) <= CLEAN_FRAC
+            and machine(r["low"]) <= MACHINE_MAX
+            and machine(r["high"]) <= MACHINE_MAX
+            and in_band(r, "dt_sec", REL_BAND)
         )
 
     def round_correctable(r: dict) -> bool:
         return (
-            r["low"] is not None
-            and r["high"] is not None
+            _complete(r)
             and frac(r["low"]) <= CORR_FRAC
             and frac(r["high"]) <= CORR_FRAC
+            and in_band(r, "dt_corr_sec", REL_BAND_CORR)
         )
 
     def round_eff(r: dict, corrected: bool) -> float:
@@ -223,6 +272,7 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
                 "times_corr_sec": [],
                 "sentinels_sec": [],
                 "steal_frac_caps": [],
+                "machine_steal_rates": [],
                 "best_sec": 0.0,
                 "triples_per_sec": 0.0,
                 "pages_per_sec": 0.0,
@@ -285,6 +335,7 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
                 "times_corr_sec": [o.get("dt_corr_sec", o["dt_sec"]) for o in obs_all],
                 "sentinels_sec": [o["sentinel_sec"] for o in obs_all],
                 "steal_frac_caps": [frac(o) for o in obs_all],
+                "machine_steal_rates": [machine(o) for o in obs_all],
                 "pinned": obs_all[0].get("pinned", []),
                 "best_sec": round(best, 2),
                 "triples_per_sec": round(n_triples / best, 1),
@@ -323,6 +374,7 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
             try:
                 os.sched_setaffinity(0, high_set)
                 st0 = read_steal_ticks(high_set)
+                mst0 = read_steal_ticks()
                 t0 = time.time()
                 spin = sentinel_sec(SCALE_HIGH)
                 probe_wall = max(time.time() - t0, 0.1)
@@ -331,9 +383,16 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
                     / 100.0
                     / (probe_wall * len(high_set))
                 )
+                machine_rate = (read_steal_ticks() - mst0) / 100.0 / probe_wall
             finally:
                 os.sched_setaffinity(0, prior)
-            if spin <= QUIET_CEILING and stolen_frac <= CLEAN_FRAC:
+            # machine-wide rate gates the heavy episodes whose pressure
+            # arrives through the host (bandwidth/SMT), not as our steal
+            if (
+                spin <= QUIET_CEILING
+                and stolen_frac <= CLEAN_FRAC
+                and machine_rate <= MACHINE_MAX
+            ):
                 return
             time.sleep(QUIET_SLEEP_SEC)
 
@@ -478,14 +537,23 @@ def main() -> None:
         "point-in-time probe cannot see a mid-run burst; the delta can). "
         "Rounds are interleaved low/high PAIRS with an explicit round "
         "index; the efficiency ratio is only ever computed within a round. "
-        "TIERED estimator: a round is CLEAN when both sides lost <= "
-        f"{CLEAN_FRAC:.0%} of pinned capacity to steal (raw wall times, "
-        "median over clean rounds); if no round is clean, rounds within "
-        f"{CORR_FRAC:.0%} are STEAL-CORRECTED (work-conserving dt - "
-        "stolen_core_sec/n_pinned — valid because the pipeline is ~95% "
-        "embarrassingly-parallel map work that saturates the pinned set) "
-        "and the estimator is labeled `steal_corrected`. Rounds beyond the "
-        "correction bound are reported but never estimated from. Sampling "
+        "TIERED estimator: a round is CLEAN when (a) both sides lost <= "
+        f"{CLEAN_FRAC:.0%} of pinned capacity to steal, (b) both sides "
+        f"measured <= {MACHINE_MAX} machine-wide stolen cores/s (heavy "
+        "host episodes press through SMT/memory bandwidth and leave no "
+        "steal ticks on our vCPUs — measured: 2.5-3.5x pipeline slowdown "
+        "at < 5% pinned steal during a 1.1 cores/s machine burst), and "
+        f"(c) both sides ran within {REL_BAND}x of that side's best wall "
+        "time across all rounds — the pipeline's own runtime is the one "
+        "signal that sees every form of contention (local[1] repeats "
+        "within ~4% across quiet windows). Clean estimate = median of "
+        "clean-round raw ratios. If no round is clean, rounds within "
+        f"{CORR_FRAC:.0%} pinned steal and {REL_BAND_CORR}x of best are "
+        "STEAL-CORRECTED (work-conserving dt - stolen_core_sec/n_pinned — "
+        "valid because the pipeline is ~95% embarrassingly-parallel map "
+        "work that saturates the pinned set) and the estimator is labeled "
+        "`steal_corrected`. Rounds beyond those bounds are reported but "
+        "never estimated from. Sampling "
         f"stops on >= {REPEATS} clean rounds, {MAX_REPEATS} total rounds, "
         f"or the {int(TIME_BUDGET_SEC)}s wall budget — never on the "
         "efficiency value itself. Timed section = execution (input scan "
@@ -494,14 +562,14 @@ def main() -> None:
         "long-lived 100 TB job and gains ~0 for this python-UDF + "
         "shuffle bound pipeline (measured).\n\n"
         "| master | pinned vCPUs | pages | triples | times (s) | "
-        "corrected (s) | steal frac of capacity | best (s) | triples/s | "
-        "pages/s |\n"
-        "|---|---|---|---|---|---|---|---|---|---|\n"
+        "corrected (s) | steal frac of capacity | machine steal (cores/s) "
+        "| best (s) | triples/s | pages/s |\n"
+        "|---|---|---|---|---|---|---|---|---|---|---|\n"
         + "".join(
             f"| {r['master']} | {r.get('pinned', [])} | {r['pages']} | "
             f"{r['triples']} | {r['times_sec']} | {r['times_corr_sec']} | "
-            f"{r['steal_frac_caps']} | {r['best_sec']} | "
-            f"{r['triples_per_sec']} | {r['pages_per_sec']} |\n"
+            f"{r['steal_frac_caps']} | {r.get('machine_steal_rates', [])} | "
+            f"{r['best_sec']} | {r['triples_per_sec']} | {r['pages_per_sec']} |\n"
             for r in (low, high)
         )
         + f"\nRounds: {scaling.get('n_rounds', 0)} total, "

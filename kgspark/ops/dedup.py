@@ -77,7 +77,17 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str,
     at 8 families; widen with more salts if a caller ever asks."""
     if n_hashes > 8:
         raise ValueError("portable signature supports n_hashes <= 8")
-    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    # Null-text docs are dropped here, NOT at the banding join: they have
+    # no shingles (similarity undefined; empty-doc dedup belongs to
+    # exact_dedup), and left in they produce null mh columns whose
+    # concat_ws band keys all collapse to md5("") -> O(n^2) spurious
+    # pairs (round-3 advice). Filtering the SIGNATURE frame instead is
+    # 9x slower: Catalyst pushes a predicate on mh0 through the
+    # projection chain and re-evaluates the shingle/hash expressions for
+    # the filter (measured on sf0.1).
+    sh = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
     # explode -> hash once per shingle row -> 8 map-side-combined mins.
     # An array-transform formulation keeps everything shuffle-free but
     # Catalyst's CollapseProject inlines the md5 struct into each of the 8
@@ -112,7 +122,9 @@ def minhash_signature_fast(docs: DataFrame, id_col: str, text_col: str,
     - the k hash families reuse the one string-level hash: family k is
       xxhash64(shingle_hash, k) over a LONG, not a re-hash of the string.
     min() is duplicate-insensitive, so skipping array_distinct changes
-    nothing.
+    nothing. Null-text docs have no shingles and therefore NO signature
+    row (similarity is undefined for them; empty-doc dedup belongs to
+    exact_dedup).
     """
     toks = word_tokens(text_col)
     # F.get (0-based) returns null past the end instead of raising under
@@ -121,21 +133,23 @@ def minhash_signature_fast(docs: DataFrame, id_col: str, text_col: str,
     def window_hash(i):
         return F.xxhash64(*[F.get(F.col("toks"), i + j) for j in range(shingle_n)])
 
-    # Null text must yield a NULL signature, not a constant one: xxhash64
+    # Null-text docs are dropped BEFORE the signature is built: xxhash64
     # over an all-null window is a seed constant (and greatest(null, 0)
-    # swallows the null size), so without the guard every null-text doc
-    # shares one signature and the banding join emits O(n^2) spurious
-    # pairs (round-3 advice). Banding drops null signatures.
-    base = docs.select(F.col(id_col), toks.alias("toks")).select(
+    # swallows the null size), so unguarded they'd all share one signature
+    # and the banding join would emit O(n^2) spurious pairs (round-3
+    # advice). A plain filter (pushdown-friendly) rather than a F.when
+    # guard around the transform: a conditional branch defeats common-
+    # subexpression elimination and recomputes the tokenizer split for
+    # every F.get reference in the window hash (measured 10x slower).
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("toks")
+    ).select(
         F.col(id_col),
-        F.when(
-            F.col("toks").isNotNull(),
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size(F.col("toks")) - shingle_n, F.lit(0))
-                ),
-                window_hash,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(F.col("toks")) - shingle_n, F.lit(0))
             ),
+            window_hash,
         ).alias("hs"),
     )
 
@@ -153,12 +167,12 @@ def _banded_pairs_from_signature(sig: DataFrame, id_col: str, n_hashes: int,
     """(a < b) candidate pairs from any mh0..mhK-1 signature frame: band
     keys combine R minhashes, one equi-join on (band, band_key)."""
     r = n_hashes // n_bands
-    # Null signatures (null text -> no shingles) are excluded: xxhash64
-    # silently SKIPS null inputs, so unfiltered they would all collapse to
-    # the identical seed-only band key and emit O(n^2) spurious pairs.
-    # Similarity is undefined for shingle-less docs — empty-doc dedup
-    # belongs to exact_dedup, not LSH.
-    banded = sig.where(F.col("mh0").isNotNull()).select(
+    # Precondition: `sig` carries no null mh columns (both signature
+    # builders drop null-text docs upstream — xxhash64 SKIPS null inputs,
+    # so null signatures here would all collapse to the identical
+    # seed-only band key and emit O(n^2) spurious pairs; and filtering
+    # HERE is 9x slower, see minhash_signature).
+    banded = sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -185,9 +199,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     md5 signature — matches the DuckDB oracle bit-for-bit)."""
     sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_n)
     r = n_hashes // n_bands
-    # null signatures dropped for the same reason as the fast path:
-    # concat_ws SKIPS nulls, so null-text docs would all band on md5("")
-    banded = sig.where(F.col("mh0").isNotNull()).select(
+    # null-text docs already dropped inside minhash_signature (see there)
+    banded = sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(

@@ -160,11 +160,16 @@ def main() -> None:
         return read_steal_ticks(pinned if pinned else None)
 
     # untimed warmup: JIT + Arrow/pandas import on workers. Steal is also
-    # measured ACROSS the warmup: if more than half our pinned capacity is
-    # being stolen right now, even the corrected number would be noise —
+    # measured ACROSS the warmup, on the pinned set AND machine-wide: if
+    # more than half our pinned capacity is being stolen, even the
+    # corrected number would be noise; and a heavy MACHINE-wide episode
+    # (> ~0.5 stolen cores/s) presses through host SMT/memory bandwidth
+    # that steal ticks on our vCPUs cannot see (measured: pipeline 2.5-3.5x
+    # slow at < 5% pinned steal during a 1.1 cores/s machine burst) —
     # abort (~1 min sunk) instead of burning a full timed round.
     abort_frac = float(os.environ.get("BENCH_CHILD_ABORT_FRAC", "0.5"))
-    wst0, wt0 = steal_now(), time.time()
+    abort_machine = float(os.environ.get("BENCH_CHILD_ABORT_MACHINE_RATE", "0.5"))
+    wst0, wmst0, wt0 = steal_now(), read_steal_ticks(), time.time()
     warm = run_pipeline(
         spark,
         fixtures.gen_pages(spark, max(n_pages // 50, 500), bulk_words=bulk_words),
@@ -174,7 +179,8 @@ def main() -> None:
     unpersist_all(spark)
     warm_dt = max(time.time() - wt0, 0.1)
     warm_frac = (steal_now() - wst0) / 100.0 / (warm_dt * n_cap)
-    if not stages_mode and warm_frac > abort_frac:
+    warm_machine = (read_steal_ticks() - wmst0) / 100.0 / warm_dt
+    if not stages_mode and (warm_frac > abort_frac or warm_machine > abort_machine):
         print(
             json.dumps(
                 {
@@ -182,6 +188,7 @@ def main() -> None:
                     "pages": n_pages,
                     "aborted": "steal_during_warmup",
                     "warmup_steal_frac_cap": round(warm_frac, 3),
+                    "warmup_machine_steal_rate": round(warm_machine, 3),
                     "pinned": pinned,
                 }
             )
