@@ -470,35 +470,53 @@ def main() -> None:
     sys.path.insert(0, str(Path(__file__).parent / "tools"))
     from bench_scaling_child import read_steal_ticks
 
-    headline_st0, headline_t0 = read_steal_ticks(), time.time()
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()  # warmup (codegen)
-        t_warm = time.time() - t0
-        best = float("inf")
-        for _ in range(2):  # min-of-2: one steal burst must not poison the number
+    def run_headline() -> tuple[dict[str, float], float]:
+        out: dict[str, float] = {}
+        st0, t0_all = read_steal_ticks(), time.time()
+        for name in HEADLINE:
+            fn = QUERIES[name]
             t0 = time.time()
-            fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        results[name] = round(best, 3)
+            fn(spark, SF_DIR).count()  # warmup (codegen)
+            t_warm = time.time() - t0
+            best = float("inf")
+            for _ in range(2):  # min-of-2: one burst must not poison the number
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                best = min(best, time.time() - t0)
+            out[name] = round(best, 3)
+            print(
+                f"[headline] {name} warm={t_warm:.2f}s best={best:.3f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            unpersist_all(spark)
+        rate = round(
+            (read_steal_ticks() - st0) / 100.0 / (time.time() - t0_all), 3
+        )
+        print(f"[headline] steal_rate={rate} cores/s", file=sys.stderr, flush=True)
+        return out, rate
+
+    # One retry in a quieter window when the whole phase ran inside a steal
+    # episode (these queries run unpinned on local[32], so machine-wide
+    # rate IS their contention gauge); keep whichever pass was quieter —
+    # per-query min across passes would mix windows.
+    results, headline_steal_rate = run_headline()
+    if headline_steal_rate > MACHINE_MAX:
         print(
-            f"[headline] {name} warm={t_warm:.2f}s best={best:.3f}s",
+            f"[headline] phase contaminated (> {MACHINE_MAX}); waiting for "
+            "a quiet window and re-running once",
             file=sys.stderr,
             flush=True,
         )
-        unpersist_all(spark)
-
-    # contention context for the headline numbers: cross-round comparisons
-    # are only meaningful between runs with similar steal rates
-    headline_steal_rate = round(
-        (read_steal_ticks() - headline_st0) / 100.0 / (time.time() - headline_t0), 3
-    )
-    print(
-        f"[headline] steal_rate={headline_steal_rate} cores/s",
-        file=sys.stderr,
-        flush=True,
-    )
+        for _ in range(QUIET_WAITS):
+            st0, t0 = read_steal_ticks(), time.time()
+            time.sleep(10)
+            if (read_steal_ticks() - st0) / 100.0 / (time.time() - t0) <= MACHINE_MAX:
+                break
+            time.sleep(QUIET_SLEEP_SEC)
+        retry, retry_rate = run_headline()
+        if retry_rate < headline_steal_rate:
+            results, headline_steal_rate = retry, retry_rate
 
     spark.stop()
 

@@ -1092,6 +1092,74 @@ def ann_lsh_banded(spark, sf_dir):
     return simsearch.lsh_banded_topk(emb, queries, k=5, n_bits=16, band_bits=4)
 
 
+def _cos_e6_sql(x: str, y: str) -> str:
+    """DuckDB cosine-e6 between two list expressions (same fixed-point
+    convention as simsearch._e6 — the float math is IEEE-identical)."""
+    dot = (
+        f"list_sum(list_transform(list_zip({x}, {y}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nx = f"sqrt(list_sum(list_transform({x}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    ny = f"sqrt(list_sum(list_transform({y}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    return f"CAST(floor({dot} / ({nx} * {ny}) * 1000000.0) AS BIGINT)"
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid_vec
+      FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_cos_e6_sql('a.embedding', 'c.centroid_vec')} DESC,
+                 c.centroid_id) AS rn
+        FROM embeddings a, cents c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT w.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                 {_cos_e6_sql('w.embedding', 'c.centroid_vec')} DESC,
+                 c.centroid_id) AS rn
+        FROM embeddings w, cents c WHERE w.vec_id < 5
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.query_id, s.vec_id
+      FROM probes p JOIN assign s USING (centroid_id)
+      WHERE s.vec_id <> p.query_id
+    ), scored AS (
+      SELECT c.query_id, c.vec_id,
+             {_cos_e6_sql('a.embedding', 'q.embedding')} AS cosine_sim_e6
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.vec_id
+      JOIN embeddings q ON q.vec_id = c.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim_e6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (ops/simsearch.py): 8 seed centroids partition the corpus
+    into inverted lists; each query probes its 2 nearest lists and exact-
+    verifies inside them — the partitioned-index scale path next to banded
+    SRP (the Lloyd-trained variant is pytest-pinned; seeds here so the
+    DuckDB oracle replicates the centroids exactly)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+
+
 @q(
     "dedup_embedding_cosine",
     f"""

@@ -300,3 +300,136 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine_sim_e6") >= int(threshold * 1000000))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partitioned-index scale path.
+#
+# Coarse quantization: K centroid vectors partition the corpus into K
+# inverted lists (each vector assigned to its max-cosine centroid); a query
+# probes only its nprobe nearest lists and exact-verifies inside them, so
+# the scanned fraction is ~nprobe/K of the corpus instead of all of it. At
+# 10^9 vectors with K=sqrt(N) the centroid set is still broadcast-sized,
+# assignment is a map-only broadcast argmax, and centroid_id is the natural
+# partition/bucket key for a materialized index table (the same role the
+# band/bucket key plays for banded SRP — IVF wins when vectors cluster,
+# SRP when they don't).
+#
+# Determinism: seeding takes the n_centroids lowest-id vectors (the
+# SQL-replicable degenerate of k-means++ sampling), and the Lloyd trainer
+# runs a FIXED iteration count with fixed tie-breaks — same input, same
+# centroids, at any parallelism. nprobe = K degenerates to exact brute
+# force (test-pinned).
+# ---------------------------------------------------------------------------
+
+
+def ivf_seed_centroids(vectors: DataFrame, n_centroids: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(centroid_id, centroid_vec): the n_centroids lowest-id vectors."""
+    return (
+        vectors.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, centroid_id): each vector to its max-cosine centroid.
+
+    Map-only: centroids are broadcast; the argmax is a row_number window
+    keyed by the vector id (perfectly spread — no skew possible). Fixed-
+    point e6 scores + (score desc, centroid_id asc) total order make the
+    assignment engine-portable and tie-free."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        _e6(cosine(F.col(vec_col), F.col("centroid_vec"))).alias("c_sim_e6"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim_e6"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 5, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
+    """IVF ANN top-k: probe the query's nprobe nearest inverted lists and
+    exact-cosine verify inside them. Candidates per query ~ nprobe/K of the
+    corpus; nprobe = n_centroids is exactly brute force."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    q_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id_col),
+        F.col("centroid_id"),
+        _e6(cosine(F.col(query_vec_col), F.col("centroid_vec"))).alias("c_sim_e6"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("c_sim_e6"), F.asc("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id_col, "centroid_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "centroid_id")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+    )
+    scored = (
+        cand.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _e6(cosine(F.col(vec_col), F.col(query_vec_col))).alias("cosine_sim_e6"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim_e6"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_train_centroids(vectors: DataFrame, n_centroids: int = 8, n_iters: int = 3,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd-refined coarse centroids, pure DataFrame ops (no MLlib, no
+    driver-side vectors): assign (broadcast argmax) -> per-dimension mean
+    via posexplode + groupBy -> arrays rebuilt with array_sort/transform.
+    Deterministic: seeded from the lowest-id vectors, FIXED iteration
+    count, tie-free assignment; empty clusters keep their previous
+    centroid. Each iteration is one shuffle over (centroid, dim) rows —
+    at 10^9 vectors train on a sampled fraction, exactly like FAISS."""
+    cents = ivf_seed_centroids(vectors, n_centroids, id_col, vec_col).localCheckpoint()
+    for _ in range(n_iters):
+        assign = ivf_assign(vectors, cents, id_col, vec_col)
+        means = (
+            vectors.join(assign, id_col)
+            .select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("new_vec")
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_vec"), F.col("centroid_vec")).alias("centroid_vec"),
+            )
+            .localCheckpoint()  # cut the iteration lineage (tiny frame)
+        )
+    return cents

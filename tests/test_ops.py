@@ -359,3 +359,72 @@ def test_png_bmp_real_pixel_luma():
     hdr_only = multimodal.make_image_bytes("png", 320, 200, b"somefiller" * 3)
     w, h, ch, _, ok, src = multimodal.decode_image_header(hdr_only)
     assert (w, h, ok, src) == (320, 200, True, "proxy")
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe = n_centroids degenerates IVF to exact brute force: every
+    inverted list is probed, every vector is a candidate (each vector lives
+    in exactly one list), and scoring/ordering are identical."""
+    emb = _testdata_embeddings(spark)
+    q = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = simsearch.ivf_seed_centroids(emb, n_centroids=8)
+    truth = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in simsearch.brute_force_topk(emb, q, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in simsearch.ivf_topk(emb, q, cents, k=5, nprobe=8).collect()
+    }
+    assert full == truth
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=2 of 8 lists scans ~1/4 of the corpus yet must keep a useful
+    fraction of the true top-5 — the recall/cost contract of the scale
+    path (fixture vectors are near-random: the hardest regime for coarse
+    quantization, like for SRP)."""
+    emb = _testdata_embeddings(spark)
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = simsearch.ivf_seed_centroids(emb, n_centroids=8)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ivf_topk(emb, q, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.25, recall
+    # more probes -> recall can only grow (candidate sets are nested)
+    got4 = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ivf_topk(emb, q, cents, k=5, nprobe=4).collect()
+    }
+    recall4 = len(truth & got4) / len(truth)
+    assert recall4 >= recall - 1e-9, (recall, recall4)
+
+
+def test_ivf_lloyd_trainer_deterministic(spark):
+    """The DataFrame-ops Lloyd trainer returns one centroid row per
+    cluster, full-width vectors, and is bit-deterministic across runs."""
+    emb = _testdata_embeddings(spark)
+    a = simsearch.ivf_train_centroids(emb, n_centroids=4, n_iters=2)
+    b = simsearch.ivf_train_centroids(emb, n_centroids=4, n_iters=2)
+    rows_a = {r["centroid_id"]: list(r["centroid_vec"]) for r in a.collect()}
+    rows_b = {r["centroid_id"]: list(r["centroid_vec"]) for r in b.collect()}
+    assert rows_a == rows_b
+    assert len(rows_a) == 4
+    dim = len(emb.first()["embedding"])
+    assert all(len(v) == dim for v in rows_a.values())
+    # refined centroids still drive a working index end-to-end
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = simsearch.ivf_topk(emb, q, a, k=3, nprobe=2).collect()
+    assert len(out) == 9  # 3 queries x top-3, rank complete
