@@ -64,6 +64,14 @@ CHECKS = {
         (r"HashAggregate", "hash aggregation"),
         (r"ReadSchema: [^\n]*struct<doc_id:bigint,text:string>", "scan pruned to 2 cols"),
     ],
+    "ann_ivf_topk": [
+        # the centroid set and the probe table must ride broadcasts — an
+        # IVF whose assignment shuffles the corpus against K rows is wrong
+        (r"BroadcastExchange", "centroids/probes broadcast"),
+        (r"ReadSchema: [^\n]*struct<embedding:array<float>,vec_id:bigint>"
+         r"|ReadSchema: [^\n]*struct<vec_id:bigint,embedding:array<float>>",
+         "scan pruned to id+vector"),
+    ],
 }
 
 
