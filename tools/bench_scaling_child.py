@@ -226,20 +226,45 @@ def main() -> None:
 
     abort_mid_frac = float(os.environ.get("BENCH_MIDRUN_ABORT_FRAC", "0.5"))
     abort_min_elapsed = float(os.environ.get("BENCH_MIDRUN_ABORT_MIN_SEC", "60"))
+    # A machine-wide burst arriving MID-run dooms the round too (the parent
+    # will reject it on the machine/relative-band gates), but without this
+    # abort the child still finishes a 3-4x-inflated 15-18 minute run
+    # (observed twice in one bench) — the budget drains on runs that were
+    # unusable by minute 2. Windowed rate over ~90s so a brief blip
+    # doesn't kill an otherwise-clean run.
+    abort_machine_mid = float(os.environ.get("BENCH_MIDRUN_ABORT_MACHINE_RATE", "0.7"))
 
     def watchdog(st_base: int, t_base: float) -> None:
+        from collections import deque
+
+        window: deque[tuple[float, int]] = deque(maxlen=7)  # ~90s at 15s steps
+        window.append((time.time(), read_steal_ticks()))
         while True:
             time.sleep(15)
             elapsed = time.time() - t_base
             stolen = (steal_now() - st_base) / 100.0
+            now, mticks = time.time(), read_steal_ticks()
+            window.append((now, mticks))
+            t0w, m0w = window[0]
+            machine_rate_win = (mticks - m0w) / 100.0 / max(now - t0w, 1.0)
+            reason = None
             if elapsed >= abort_min_elapsed and stolen > abort_mid_frac * elapsed * n_cap:
+                reason = "steal_mid_run"
+            elif (
+                elapsed >= abort_min_elapsed
+                and len(window) == window.maxlen
+                and machine_rate_win > abort_machine_mid
+            ):
+                reason = "machine_burst_mid_run"
+            if reason:
                 print(
                     json.dumps(
                         {
                             "master": master,
                             "pages": n_pages,
-                            "aborted": "steal_mid_run",
+                            "aborted": reason,
                             "stolen_core_sec": round(stolen, 1),
+                            "machine_rate_window": round(machine_rate_win, 3),
                             "pinned": pinned,
                         }
                     ),
