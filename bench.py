@@ -474,14 +474,21 @@ def main() -> None:
 
     results: dict[str, float] = {}
 
+    sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    from bench_scaling_child import read_steal_ticks
+
+    # --- scaling FIRST: it is the fragile measurement (a full round needs
+    # ~6 quiet minutes; headline queries are sub-second with min-of-2 and
+    # a retry pass) — give it the freshest quiet window the run has
+    # instead of spending that window on 12 minutes of headline timings.
+    scaling = measure_scaling(SCALE_PAGES, REPEATS)
+    stage_splits = _run_stage_splits(SCALE_PAGES)
+
     # --- headline queries at SF_DIR on local[CPUS]
     spark = get_spark(app_name="kgspark-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     from kgspark.entry_queries import QUERIES
-
-    sys.path.insert(0, str(Path(__file__).parent / "tools"))
-    from bench_scaling_child import read_steal_ticks
 
     def run_headline() -> tuple[dict[str, float], float]:
         out: dict[str, float] = {}
@@ -533,15 +540,10 @@ def main() -> None:
 
     spark.stop()
 
-    # --- scaling: same KG job at N and 4N cores, interleaved pinned rounds
-    scaling = measure_scaling(SCALE_PAGES, REPEATS)
     low, high = scaling["low"], scaling["high"]
     efficiency = scaling["efficiency"]
     results["kg_pipeline"] = high["best_sec"]
     n_pages = SCALE_PAGES
-
-    # --- per-stage split (informational; one instrumented run, high side)
-    stage_splits = _run_stage_splits(SCALE_PAGES)
 
     # --- BENCH/BASELINE.md
     md = Path(__file__).parent / "BENCH" / "BASELINE.md"
