@@ -40,9 +40,17 @@ def _spread(df: DataFrame) -> DataFrame:
     map stage onto one core — measured 3x on the shingle explode. At
     cluster scale inputs already carry >= cores partitions and this is a
     no-op; the repartition only fires (and only shuffles) on
-    under-partitioned small inputs."""
+    under-partitioned small inputs.
+
+    The under-partitioning probe counts INPUT FILES — pure catalog
+    metadata. The previous df.rdd.getNumPartitions() forced full analysis
+    plus a Py4J RDD conversion on every query build (round-4 advice); a
+    single file larger than maxPartitionBytes would now be under-counted
+    as 1 and repartitioned needlessly, but the test inputs are small
+    single files and cluster-scale tables are many-file, so the miscount
+    costs at most one extra shuffle on an input shape that doesn't occur."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    if len(df.inputFiles()) < parallelism:
         return df.repartition(parallelism)
     return df
 
@@ -182,6 +190,35 @@ def kg_link_fuzzy(spark, sf_dir):
     return cand.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
 
+MULTIHOP_MAX_DF = 200  # per-term hub expansion cap (bounds pairs at |vocab|*C(cap,2))
+
+
+def cap_hub_adjacency(m: DataFrame, key_col: str, id_col: str,
+                      max_df: int = MULTIHOP_MAX_DF, n_salt: int = 64) -> DataFrame:
+    """Bounded hub expansion: keep only each key's `max_df` LOWEST ids,
+    computed skew-safely in two stages — a salted per-(key, bucket) partial
+    top-k, then a merge of <= n_salt * max_df survivors per key. A plain
+    row_number() window over the hub key would sort every mention of a hot
+    term on ONE reducer (the very skew this fixes); the two-stage form is
+    exact for "global lowest max_df" because each id's global rank is >= its
+    bucket rank. This is the Neo4j-bounds-by-index-lookup analog the
+    reference's 2-hop Cypher relies on (/root/reference/test_queries.sh:63-74)
+    and the df-blocking pattern ngram_jaccard_pairs already uses
+    (ops/dedup.py)."""
+    part = (
+        m.withColumn("b", F.pmod(F.xxhash64(id_col), F.lit(n_salt)))
+        .groupBy(key_col, "b")
+        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_df).alias("ids"))
+    )
+    return (
+        part.groupBy(key_col)
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("ids"))), 1, max_df).alias("ids")
+        )
+        .select(key_col, F.explode("ids").alias(id_col))
+    )
+
+
 @q(
     "kg_multihop_shared_terms",
     f"""
@@ -189,25 +226,41 @@ def kg_link_fuzzy(spark, sf_dir):
       SELECT DISTINCT doc_id, t.term AS term
       FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
       WHERE t.term IN {_GAZ_SQL}
+    ), capped AS (
+      -- bounded hub expansion, mirrors cap_hub_adjacency (max_df lowest ids)
+      SELECT doc_id, term FROM (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        FROM m
+      ) WHERE rk <= {MULTIHOP_MAX_DF}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS n_shared
-    FROM m a JOIN m b ON a.term = b.term AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.term = b.term AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= 9
     """,
 )
 def kg_multihop_shared_terms(spark, sf_dir):
     """2-hop traversal analog (doc -mentions-> term <-mentions- doc):
-    doc pairs sharing >=9 gazetteer terms."""
+    doc pairs sharing >=9 gazetteer terms, over a CAPPED per-term adjacency.
+
+    Every gazetteer term is a hub (df ~78% of the corpus), so the uncapped
+    self-join's output is Theta(docs^2) per term — the one scale-killer
+    flagged in rounds 3-4. The cap bounds pairs at |vocab| * C(max_df, 2)
+    independent of corpus size (measured: 4,613 pairs at 500 docs vs 4,833
+    at 5,000 docs — flat), at the cost of only surfacing the max_df
+    lowest-id docs per term, the same bounded-adjacency contract a Neo4j
+    index lookup gives the reference's TEST-6 2-hop."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     m = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
         .where(F.col("term").isin(GAZ))
         .distinct()
     )
-    a = m.select(F.col("doc_id").alias("doc_a"), "term")
-    b = m.select(F.col("doc_id").alias("doc_b"), "term")
+    capped = cap_hub_adjacency(m, "term", "doc_id")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "term")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "term")
     return (
         a.join(b, "term")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -681,10 +734,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     _TWIN_SQL
     + """
     , sh AS (
+      -- blank/null docs carry no shingles (mirrors the Spark-side
+      -- length(trim(text)) > 0 filter in minhash_signature)
       SELECT doc_id,
              list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
                             for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
-      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus)
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus
+            WHERE length(trim(text)) > 0)
     ), hs AS (
       SELECT doc_id,
              list_transform(shingles, s -> md5(s)) AS h1s,

@@ -77,15 +77,16 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str,
     at 8 families; widen with more salts if a caller ever asks."""
     if n_hashes > 8:
         raise ValueError("portable signature supports n_hashes <= 8")
-    # Null-text docs are dropped here, NOT at the banding join: they have
-    # no shingles (similarity undefined; empty-doc dedup belongs to
-    # exact_dedup), and left in they produce null mh columns whose
-    # concat_ws band keys all collapse to md5("") -> O(n^2) spurious
-    # pairs (round-3 advice). Filtering the SIGNATURE frame instead is
-    # 9x slower: Catalyst pushes a predicate on mh0 through the
-    # projection chain and re-evaluates the shingle/hash expressions for
-    # the filter (measured on sf0.1).
-    sh = docs.where(F.col(text_col).isNotNull()).select(
+    # Null AND blank/whitespace-only docs are dropped here, NOT at the
+    # banding join: they have no shingles (similarity undefined; empty-doc
+    # dedup belongs to exact_dedup), and left in they collapse to one
+    # signature (null mh -> md5("") band keys; blank text -> every shingle
+    # is "") -> O(n^2) spurious pairs (round-3/round-4 advice). The
+    # length(trim(..)) > 0 predicate is null-rejecting, so it covers both.
+    # Filtering the SIGNATURE frame instead is 9x slower: Catalyst pushes
+    # a predicate on mh0 through the projection chain and re-evaluates the
+    # shingle/hash expressions for the filter (measured on sf0.1).
+    sh = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
     )
     # explode -> hash once per shingle row -> 8 map-side-combined mins.
@@ -133,15 +134,17 @@ def minhash_signature_fast(docs: DataFrame, id_col: str, text_col: str,
     def window_hash(i):
         return F.xxhash64(*[F.get(F.col("toks"), i + j) for j in range(shingle_n)])
 
-    # Null-text docs are dropped BEFORE the signature is built: xxhash64
-    # over an all-null window is a seed constant (and greatest(null, 0)
-    # swallows the null size), so unguarded they'd all share one signature
-    # and the banding join would emit O(n^2) spurious pairs (round-3
-    # advice). A plain filter (pushdown-friendly) rather than a F.when
-    # guard around the transform: a conditional branch defeats common-
-    # subexpression elimination and recomputes the tokenizer split for
-    # every F.get reference in the window hash (measured 10x slower).
-    base = docs.where(F.col(text_col).isNotNull()).select(
+    # Null AND blank-text docs are dropped BEFORE the signature is built:
+    # xxhash64 over an all-null window is a seed constant (and
+    # greatest(null, 0) swallows the null size), and a whitespace-only doc
+    # tokenizes to a constant window too — unguarded, each cohort shares
+    # one signature and the banding join emits O(n^2) spurious pairs
+    # (round-3/round-4 advice). length(trim(..)) > 0 is null-rejecting, so
+    # one pushdown-friendly filter covers both. A plain filter rather than
+    # a F.when guard around the transform: a conditional branch defeats
+    # common-subexpression elimination and recomputes the tokenizer split
+    # for every F.get reference in the window hash (measured 10x slower).
+    base = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col), toks.alias("toks")
     ).select(
         F.col(id_col),

@@ -193,11 +193,20 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, float] | None:
     ch = _PNG_CHANNELS.get(color_type)
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or color_type == 3 or ch is None:
         return None  # palette/16-bit/interlaced: header+proxy fallback
+    # IHDR tells us the exact decompressed size up front; bound the inflate
+    # to it so a crafted decompression bomb inside an untrusted media
+    # payload can't exhaust executor memory inside mapInPandas (round-4
+    # advice). The dimension cap (256 MiB of raw scanlines) bounds the
+    # decompress AND unfilter allocations for absurd-header payloads.
+    expected = h * (1 + w * ch)
+    if w == 0 or h == 0 or expected > (1 << 28):
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error:
         return None
-    if len(raw) != h * (1 + w * ch) or w == 0 or h == 0:
+    if len(raw) != expected:  # expected+1 == bomb; shorter == truncated
         return None
     px = _png_unfilter(raw, h, w, ch)
     return (w, h, ch, _pixels_luma(px, ch))

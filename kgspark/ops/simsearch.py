@@ -406,8 +406,14 @@ def ivf_train_centroids(vectors: DataFrame, n_centroids: int = 8, n_iters: int =
     via posexplode + groupBy -> arrays rebuilt with array_sort/transform.
     Deterministic: seeded from the lowest-id vectors, FIXED iteration
     count, tie-free assignment; empty clusters keep their previous
-    centroid. Each iteration is one shuffle over (centroid, dim) rows —
-    at 10^9 vectors train on a sampled fraction, exactly like FAISS."""
+    centroid. The per-dimension mean sums per-row DECIMAL casts, not
+    doubles: double addition is accumulation-order dependent and shuffle
+    fetch order varies across runs/parallelism, so a double F.avg could
+    flip centroid bits (and downstream e6 assignments) between local[1]
+    and local[32]; decimal sums are exact, hence order-independent
+    (round-4 advice). Each iteration is one shuffle over (centroid, dim)
+    rows — at 10^9 vectors train on a sampled fraction, exactly like
+    FAISS."""
     cents = ivf_seed_centroids(vectors, n_centroids, id_col, vec_col).localCheckpoint()
     for _ in range(n_iters):
         assign = ivf_assign(vectors, cents, id_col, vec_col)
@@ -415,7 +421,12 @@ def ivf_train_centroids(vectors: DataFrame, n_centroids: int = 8, n_iters: int =
             vectors.join(assign, id_col)
             .select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("v").cast("double").cast("decimal(27,9)"))
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("centroid_id")
             .agg(
                 F.transform(

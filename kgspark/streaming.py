@@ -150,6 +150,21 @@ def stream_mention_sessions(
             else:
                 r0 = runs[0]
                 runs[0] = (min(start_us, r0[0]), max(last_us, r0[1]), cnt + r0[2])
+                # The stored session can extend PAST later in-batch bursts
+                # (out-of-order events inside the watermark: state last=95m,
+                # batch carries late bursts at 36m and 70m). Re-coalesce
+                # adjacent runs so the merge can't close a session at 95m
+                # while keeping an "open" run starting at 70m — which would
+                # emit overlapping sessions and move last_us backwards.
+                i = 0
+                while i + 1 < len(runs):
+                    if runs[i + 1][0] <= runs[i][1] + gap_us:
+                        a, b = runs[i], runs[i + 1]
+                        runs[i : i + 2] = [
+                            (min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2])
+                        ]
+                    else:
+                        i += 1
         # every burst but the trailing one is followed by >= gap of silence
         # within the batch itself — close them now; the trailing burst stays
         # open in state (the next batch or the timeout decides its fate)

@@ -428,3 +428,71 @@ def test_ivf_lloyd_trainer_deterministic(spark):
     )
     out = simsearch.ivf_topk(emb, q, a, k=3, nprobe=2).collect()
     assert len(out) == 9  # 3 queries x top-3, rank complete
+
+
+def test_minhash_blank_text_no_pair_explosion(spark):
+    """Whitespace-only docs collapse to ONE signature in both hash paths
+    (every md5 shingle is ""; every xxhash64 window is a seed constant),
+    so left in they pair up quadratically exactly like the round-3 null
+    case — blank docs must carry no signature at all (round-4 advice)."""
+    rows = [("d0", "alpha beta gamma delta epsilon zeta"),
+            ("d1", "alpha beta gamma delta epsilon zeta"),
+            ("d2", ""), ("d3", "   "), ("d4", " \t "), ("d5", None)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for fn in (dedup.minhash_lsh_pairs, dedup.minhash_lsh_pairs_fast):
+        pairs = {(r["a"], r["b"]) for r in fn(docs).collect()}
+        assert pairs == {("d0", "d1")}, fn.__name__
+
+
+def test_png_decompression_bomb_bounded():
+    """A crafted IDAT that inflates far past the IHDR-declared size must be
+    rejected without materializing the blown-up buffer (bounded inflate,
+    round-4 advice); absurd declared dimensions bail before allocating."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # declares 2x2 RGB (expected raw = 2*(1+6) = 14 bytes) but the IDAT
+    # stream inflates to 8 MiB of zeros from ~8 KiB compressed
+    ihdr = struct.pack(">II", 2, 2) + bytes([8, 2, 0, 0, 0])
+    bomb = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (8 << 20))
+    ) + chunk(b"IEND", b"")
+    assert multimodal.decode_png_pixels(bomb) is None
+    # ...and the decode surface degrades to header+proxy, not a crash
+    w, h, ch, _, ok, src = multimodal.decode_image_header(bomb)
+    assert (w, h, ok, src) == (2, 2, True, "proxy")
+    # absurd-header guard: declared scanline volume > 256 MiB bails before
+    # the inflate (and before the unfilter allocation)
+    big_ihdr = struct.pack(">II", 1 << 16, 1 << 16) + bytes([8, 2, 0, 0, 0])
+    big = sig + chunk(b"IHDR", big_ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 16)
+    ) + chunk(b"IEND", b"")
+    assert multimodal.decode_png_pixels(big) is None
+    # an honest payload of the same shape still pixel-decodes (guard is
+    # not over-broad)
+    import numpy as np
+
+    px = np.full((2, 2, 3), 7, np.uint8)
+    good = multimodal.make_png_bytes(2, 2, px)
+    assert multimodal.decode_png_pixels(good) is not None
+
+
+def test_ivf_lloyd_trainer_parallelism_invariant(spark):
+    """Centroid bits must not depend on partitioning: a double F.avg is
+    accumulation-order dependent (shuffle fetch order varies with
+    parallelism), so the per-dimension mean sums exact DECIMAL casts
+    (round-4 advice). One-partition and 32-partition inputs must train
+    IDENTICAL centroids, bit for bit."""
+    emb = _testdata_embeddings(spark)
+    a = simsearch.ivf_train_centroids(emb.coalesce(1), n_centroids=4, n_iters=2)
+    b = simsearch.ivf_train_centroids(emb.repartition(32), n_centroids=4, n_iters=2)
+    rows_a = {r["centroid_id"]: list(r["centroid_vec"]) for r in a.collect()}
+    rows_b = {r["centroid_id"]: list(r["centroid_vec"]) for r in b.collect()}
+    assert rows_a == rows_b

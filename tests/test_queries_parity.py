@@ -82,3 +82,33 @@ def test_entry_contract_keys():
         "kg_pipeline_triples",
         "dedup_minhash_lsh_fast",
     }
+
+
+def test_cap_hub_adjacency_exact_and_bounded(spark):
+    """The salted two-stage top-k in cap_hub_adjacency must equal the
+    global "max_df lowest ids per key" semantics its oracle expresses with
+    row_number(), and must bound multihop pair output independent of
+    corpus size (the round-3/4 hub-key scale-killer)."""
+    from kgspark import entry_queries as eq
+
+    rows = [(d, "hub") for d in range(500)] + [(d, "rare") for d in range(3)]
+    m = spark.createDataFrame(rows, "doc_id long, term string")
+    capped = eq.cap_hub_adjacency(m, "term", "doc_id", max_df=50, n_salt=8)
+    got = {(r["term"], r["doc_id"]) for r in capped.collect()}
+    want = {("hub", d) for d in range(50)} | {("rare", d) for d in range(3)}
+    assert got == want
+
+    # pair output at fixed vocabulary stops growing once n > max_df:
+    # 4x the docs, identical pair count (bounded at |vocab| * C(max_df, 2))
+    def pairs_at(n):
+        mm = spark.createDataFrame(
+            [(d, t) for d in range(n) for t in ("t1", "t2")],
+            "doc_id long, term string",
+        )
+        c = eq.cap_hub_adjacency(mm, "term", "doc_id", max_df=50)
+        a = c.select(F.col("doc_id").alias("a"), "term")
+        b = c.select(F.col("doc_id").alias("b"), "term")
+        return a.join(b, "term").where("a < b").count()
+
+    p100, p400 = pairs_at(100), pairs_at(400)
+    assert p100 == p400 == 2 * 50 * 49 // 2

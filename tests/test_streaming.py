@@ -210,3 +210,60 @@ def test_stream_sessions_split_within_one_batch(tmp_path, spark):
     b2 = (t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=2, minutes=6))
     assert out.get(b2) == 3
     assert len(out) == 2
+
+
+def test_stream_sessions_out_of_order_late_burst(tmp_path, spark):
+    """Late events INSIDE the watermark that precede the stored session's
+    end must not split it: with state (t0..84m) open and a late batch
+    carrying mentions at 36m and 70.5m (gap=30m), the batch-local runs are
+    (36m) and (70.5m); merging state into the first extends it to 84m,
+    which now bridges the second — failing to re-coalesce would close a
+    session ending at 84m while keeping an "open" run at 70.5m
+    (overlapping output, state.last moving backwards). The whole thing
+    must come out as ONE session t0..84m with all 6 mentions (round-4
+    advice)."""
+    import datetime as dt
+
+    pages_dir = str(tmp_path / "spages3")
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, fixtures.PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+
+    # batch 1: one open session t0 .. t0+84m (every step <= 30m gap)
+    write([
+        ("u1", t0, None, "canada rises", "en"),
+        ("u2", t0 + dt.timedelta(minutes=28), None, "canada again", "en"),
+        ("u3", t0 + dt.timedelta(minutes=56), None, "canada indeed", "en"),
+        ("u4", t0 + dt.timedelta(minutes=84), None, "canada still", "en"),
+    ])
+    stream = streaming.stream_pages(spark, pages_dir)
+    sessions = streaming.stream_mention_sessions(
+        stream, ["Canada"], gap="30 minutes", watermark="10 hours"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions_late")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: out-of-order events still inside the 10h watermark
+        write([
+            ("u5", t0 + dt.timedelta(minutes=36), None, "canada late", "en"),
+            ("u6", t0 + dt.timedelta(minutes=70, seconds=30), None, "canada later", "en"),
+        ])
+        q.processAllAvailable()
+        # advance the watermark past 84m+gap so the merged session times out
+        for i, hours in enumerate((20, 21)):
+            write([(f"f{i}", t0 + dt.timedelta(hours=hours), None, "filler", "en")])
+            q.processAllAvailable()
+        got = spark.sql("select * from t_sessions_late").collect()
+    finally:
+        q.stop()
+
+    out = {(r["session_start"], r["session_end"]): r["n_mentions"] for r in got}
+    assert out == {(t0, t0 + dt.timedelta(minutes=84)): 6}
