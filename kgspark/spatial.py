@@ -19,15 +19,15 @@ Reference analogs (what, not how):
 Representation: geometry rides as columns, not objects.
 - ``bbox``: struct<xmin,ymin,xmax,ymax> (doubles) — the blocking key
   carrier and, for the axis-aligned synthetic fixtures, the exact geometry.
-- WKB: little-endian ISO WKB Polygon <-> bbox codec implemented as
+- WKB: Polygon (with holes) / MultiPolygon <-> bbox codec implemented as
   Arrow-batched pandas UDFs (numpy byte slicing — no per-row Python), so
   real-world WKB columns (what an Iceberg gazetteer table would carry) plug
-  into the same operators. General (non-rectangular) rings get exact
-  shoelace areas, and polygon-polygon intersection areas are EXACT for
-  convex rings via a pure-numpy Sutherland–Hodgman clip
-  (`spatial_overlap_join_wkb`) — no GEOS needed. Concave rings would need a
-  general clipper (GEOS/Vatti); the convex clip covers census-unit-style
-  fixtures and is the documented swap-in point.
+  into the same operators. Geometry is repaired on load (kgspark.geom: the
+  reference's make_valid / buffer(0) analog) and polygon-polygon
+  intersection areas are EXACT for arbitrary simple geometry — concave,
+  holed, multi-part — via the signed triangle-fan decomposition in
+  kgspark.geom, with a pure-numpy Sutherland–Hodgman convex-clip fast path
+  for single-ring convex pairs. No GEOS needed.
 
 Dedup without distinct: a pair of bboxes can share many grid cells. The
 join emits a pair only from the ONE cell containing the intersection's
@@ -285,20 +285,16 @@ def rect_to_wkb(
 
 
 def _parse_wkb(buf: bytes) -> tuple[float, float, float, float, float]:
-    """(xmin, ymin, xmax, ymax, shoelace_area) of the first (outer) ring.
-    Little-endian ISO WKB Polygon only — the shape our sinks emit and the
-    common case in parquet gazetteers."""
-    byte_order, geom_type, n_rings = struct.unpack_from("<BII", buf, 0)
-    if byte_order != 1 or geom_type != _WKB_POLYGON or n_rings < 1:
-        raise ValueError("unsupported WKB (need little-endian Polygon)")
-    (n_pts,) = struct.unpack_from("<I", buf, 9)
-    coords = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=13).reshape(
-        n_pts, 2
-    )
-    x, y = coords[:, 0], coords[:, 1]
-    # shoelace over the closed ring (exact for any simple polygon)
-    area = 0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
-    return float(x.min()), float(y.min()), float(x.max()), float(y.max()), area
+    """(xmin, ymin, xmax, ymax, area) of a WKB geometry — Polygon (with
+    holes), MultiPolygon, either endianness, repaired on load
+    (kgspark.geom: the reference's make_valid-on-load analog,
+    link_csd_years_spatial_v2.py:55-59). Area is the exact NET area:
+    exterior rings minus holes, summed over parts."""
+    from . import geom
+
+    rings = list(geom._parse_cached(bytes(buf)))
+    xmin, ymin, xmax, ymax = geom.geometry_bbox(rings)
+    return xmin, ymin, xmax, ymax, geom.geometry_area(rings)
 
 
 @pandas_udf(
@@ -382,13 +378,15 @@ def polygon_intersection_area(ring_a: np.ndarray, ring_b: np.ndarray) -> float:
 
 @pandas_udf(T.DoubleType())
 def wkb_intersection_area(wa: pd.Series, wb: pd.Series) -> pd.Series:
-    """Exact intersection area of two convex WKB polygons (Arrow-batched;
-    rings are small so the per-pair numpy clip is the whole cost)."""
+    """Exact intersection area of two WKB geometries — concave, holed, and
+    multi-part included (kgspark.geom signed triangle-fan; convex pairs
+    take the O(n+m) convex-clip fast path). Arrow-batched, parse-cached
+    per executor: blocking emits the same geometry in many candidate
+    pairs."""
+    from . import geom
+
     return pd.Series(
-        [
-            polygon_intersection_area(_ring_points(a), _ring_points(b))
-            for a, b in zip(wa, wb)
-        ]
+        [geom.wkb_intersection_area_py(a, b) for a, b in zip(wa, wb)]
     )
 
 
@@ -399,13 +397,16 @@ def spatial_overlap_join_wkb(
     iou_threshold_e6: int = 100000,
     id_col: str = "unit_id",
     wkb_col: str = "wkb",
+    area_round: int | None = None,
 ) -> DataFrame:
-    """Overlap join over general convex WKB polygons with EXACT intersection
-    areas: grid-block on the parsed bboxes (one shuffle, reference-point
-    dedup), then verify each surviving candidate with the Sutherland–Hodgman
-    clip. Emits (a_id, b_id, iou_e6, a_cover_e6, b_cover_e6) exactly like
-    the bbox form, but true to the ring geometry (reference J1,
-    link_csd_years_spatial_v2.py:100-132)."""
+    """Overlap join over general WKB geometry — concave, holed, multi-part
+    — with EXACT intersection areas: grid-block on the parsed bboxes (one
+    shuffle, reference-point dedup), then verify each surviving candidate
+    with the kgspark.geom clip (convex fast path / signed triangle-fan
+    general path). Emits (a_id, b_id, iou_e6, a_cover_e6, b_cover_e6)
+    exactly like the bbox form, but true to the ring geometry (reference
+    J1, link_csd_years_spatial_v2.py:100-132 GEOS intersection + the
+    make_valid repair at :55-59)."""
     lg = with_wkb_geometry(left.select(id_col, wkb_col), wkb_col)
     rg = with_wkb_geometry(right.select(id_col, wkb_col), wkb_col)
     pairs = _blocked_pairs(
@@ -413,6 +414,14 @@ def spatial_overlap_join_wkb(
         carry=(wkb_col, "ring_area"),
     )
     inter = wkb_intersection_area(F.col(f"a_{wkb_col}"), F.col(f"b_{wkb_col}"))
+    if area_round is not None:
+        # Oracle-portability quantization: for integer-coordinate fixture
+        # geometry the true intersection area is a multiple of 0.5, but the
+        # triangle-fan sum carries ~1e-12 float noise that could flip a
+        # floor(1e6*...) at an exact boundary vs an engine computing the
+        # area by exact rectangle arithmetic. Rounding recovers the exact
+        # rational; real-world (non-oracle) callers leave it off.
+        inter = F.round(inter, area_round)
     pairs = pairs.withColumn("inter_area", inter)
     union = F.col("a_ring_area") + F.col("b_ring_area") - F.col("inter_area")
     frac = lambda num, den: F.when(  # noqa: E731
