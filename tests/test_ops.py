@@ -496,3 +496,44 @@ def test_ivf_lloyd_trainer_parallelism_invariant(spark):
     rows_a = {r["centroid_id"]: list(r["centroid_vec"]) for r in a.collect()}
     rows_b = {r["centroid_id"]: list(r["centroid_vec"]) for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_ivf_lloyd_recall_on_clustered_fixture(spark):
+    """Round-4 verdict #7: the Lloyd trainer must produce centroids that
+    make partial probing actually work on clusterable data. 8 separated
+    clusters in 16-d; after training (K=8), probing nprobe=2 of 8 lists
+    must keep recall@5 >= 0.9 (on cluster-structured data the true
+    neighbors share the query's list, so a trainer that failed to find
+    the cluster structure — e.g. collapsed or stuck seeds — would tank
+    this). The near-random testdata fixture can't show this; it is the
+    hardest regime for coarse quantization (see
+    test_ivf_partial_probe_recall's 0.25 bound)."""
+    import random
+
+    rng = random.Random(42)
+    dim, per = 16, 40
+    rows = []
+    for c in range(8):
+        center = [10.0 if d % 8 == c else 0.0 for d in range(dim)]
+        for i in range(per):
+            rows.append(
+                (
+                    c * per + i,
+                    [v + rng.uniform(-0.5, 0.5) for v in center],
+                )
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = simsearch.ivf_train_centroids(emb, n_centroids=8, n_iters=3)
+    q = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ivf_topk(emb, q, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, recall
