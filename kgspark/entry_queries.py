@@ -941,6 +941,150 @@ def text_fingerprint(spark, sf_dir):
 
 
 @q(
+    "text_repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n, u.gram
+      FROM t, (SELECT unnest([2, 3]) AS n) ns,
+           unnest(CASE WHEN len(toks) >= n
+                       THEN [array_to_string(list_slice(toks, i, i + n - 1), ' ')
+                             for i in range(1, len(toks) - n + 2)]
+                       ELSE [] END) AS u(gram)
+    ), gc AS (
+      SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+    ), agg AS (
+      SELECT doc_id, n, sum(c) AS total, count(*) AS dis, max(c) AS top
+      FROM gc GROUP BY doc_id, n
+    ), tok AS (
+      SELECT doc_id, u.ord, toks[u.ord] AS tok
+      FROM t, unnest([i for i in range(1, len(toks) + 1)]) AS u(ord)
+    ), runs AS (
+      SELECT doc_id, max(run) AS max_run FROM (
+        SELECT doc_id, count(*) AS run FROM (
+          SELECT doc_id, tok,
+                 ord - row_number() OVER (PARTITION BY doc_id, tok ORDER BY ord) AS grp
+          FROM tok
+        ) GROUP BY doc_id, tok, grp
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(floor(coalesce((a2.total - a2.dis) * 1000000.0 / a2.total, 0)) AS BIGINT) AS dup_2gram_frac_e6,
+           CAST(floor(coalesce(a2.top * 1000000.0 / a2.total, 0)) AS BIGINT) AS top_2gram_frac_e6,
+           CAST(floor(coalesce((a3.total - a3.dis) * 1000000.0 / a3.total, 0)) AS BIGINT) AS dup_3gram_frac_e6,
+           CAST(floor(coalesce(a3.top * 1000000.0 / a3.total, 0)) AS BIGINT) AS top_3gram_frac_e6,
+           CAST(r.max_run AS BIGINT) AS max_token_run
+    FROM t
+    LEFT JOIN agg a2 ON a2.doc_id = t.doc_id AND a2.n = 2
+    LEFT JOIN agg a3 ON a3.doc_id = t.doc_id AND a3.n = 3
+    JOIN runs r ON r.doc_id = t.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition gates (dup-n-gram fraction, top-n-gram
+    coverage, longest same-token run) — map-only higher-order-function
+    implementation in ops/webtext.py; the oracle recomputes every signal
+    relationally (unnest -> group counts, gaps-islands for runs)."""
+    from .ops.webtext import repetition_stats
+
+    return repetition_stats(_spread(_t(spark, sf_dir, "documents")))
+
+
+@q(
+    "web_url_canonicalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' || source || '.Example.ORG'
+                      ELSE 'www.' || source || '.example.org' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+             || '/' || repeat('s/', CAST(doc_id % 4 AS INT)) || 'page'
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&fbclid=zz'
+                      WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                                  '^([^:]+)', 1)) AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u
+    ), kept AS (
+      SELECT doc_id, url, scheme, host, path,
+             list_filter(string_split(query, '&'),
+                         x -> len(x) > 0 AND NOT (starts_with(x, 'utm_')
+                              OR starts_with(x, 'fbclid') OR starts_with(x, 'gclid')
+                              OR starts_with(x, 'mc_eid'))) AS kq
+      FROM parts
+    )
+    SELECT doc_id, url, host,
+           regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+           CAST(len(list_filter(string_split(path, '/'), s -> len(s) > 0)) AS BIGINT)
+             AS path_depth,
+           scheme || '://' || host || path
+           || (CASE WHEN len(kq) > 0 THEN '?' || array_to_string(kq, '&') ELSE '' END)
+             AS canonical_url
+    FROM kept
+    """,
+)
+def web_url_canonicalize(spark, sf_dir):
+    """URL canonicalization over deterministically synthesized messy crawl
+    URLs (mixed-case scheme/host, default port, tracking params): host /
+    registrable-domain extraction, path depth, tracking-param strip. Pure
+    regex/array column ops (ops/webtext.py); the oracle mirrors them with
+    DuckDB regexp + list lambdas."""
+    from .ops.webtext import synth_urls, url_canonicalize
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "source")
+    return url_canonicalize(synth_urls(docs)).select(
+        "doc_id", "url", "host", "reg_domain", "path_depth", "canonical_url"
+    )
+
+
+@q(
+    "asof_join_events",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           CAST(floor(r.value * 100) AS BIGINT) AS asof_value_c2,
+           r.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """Point-in-time join (the operator Spark lacks natively; DuckDB runs
+    its native ASOF JOIN as the oracle): each click event picks up the
+    latest preceding error value for the same user. ops/webtext.asof_join
+    is the union + one-window form — ONE shuffle on user_id, per-group
+    merge scan, no range join (Catalyst executes inequality joins as
+    per-key cartesian + filter). (user_id, ts) is tie-free in the events
+    tables at every sf, so <= semantics are deterministic."""
+    from .ops.webtext import asof_join
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, by="user_id", ts_col="ts")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("asof_value") * 100).cast("long").alias("asof_value_c2"),
+        "asof_ts",
+    )
+
+
+@q(
     "rollup_orders",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -1,0 +1,215 @@
+"""Webtext corpus operators for training-data pipelines: Gopher-style
+repetition signals, URL canonicalization, and a point-in-time (as-of)
+join.
+
+Reference parity: the reference corpus loaders normalize scraped page
+identity and filter boilerplate before linking
+(/root/reference/scripts/extract_1911_census.py's cleanup pass and the
+crawl-manifest handling in its ingest docs); these operators are the
+Spark-first generalization a 100 TB web corpus needs.
+
+Scale notes (all three families):
+- repetition_stats is MAP-ONLY: every signal — dup-n-gram fraction, top
+  n-gram coverage, longest run — is computed per row with higher-order
+  functions over the token array (array_sort + aggregate with a struct
+  accumulator = run-length encoding inside whole-stage codegen). The
+  obvious explode -> groupBy(doc_id, ngram) alternative shuffles the
+  ENTIRE token stream (~corpus size x n); this shuffles nothing.
+- url ops are pure column regex/array expressions, map-only.
+- asof_join is ONE shuffle on the `by` key (union + window), not a range
+  join: Spark's SortMergeJoin on an inequality degenerates to
+  per-key-cartesian + filter, while the union-window form sorts each key
+  group once and scans it once — the classic streaming-merge as-of shape
+  (same plan DuckDB/kdb use natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "mc_eid")
+
+
+def _e6(col):
+    return F.floor(col * 1000000.0).cast("long")
+
+
+def _ngrams(toks, n: int):
+    """Array of space-joined n-grams; empty when the doc is shorter than n
+    (sequence(0, size-n) would silently generate a DESCENDING index array
+    for short docs — a Spark footgun — hence the explicit guard)."""
+
+    def join_at(i):
+        return F.array_join(F.slice(toks, i + 1, n), " ")
+
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), join_at),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr):
+    """Longest run of equal adjacent elements in a SORTED array == max
+    multiplicity of any element. Struct-accumulator aggregate: O(t) per
+    row after the O(t log t) sort, all inside codegen, no shuffle."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    use duplicate-line/paragraph fractions and top-n-gram coverage as
+    quality gates; the fixture corpus is single-line, so the line-level
+    variants collapse into the n-gram ones):
+
+    - dup_{n}gram_frac_e6: fraction of n-grams occurring more than once
+      (1 - distinct/total) — high = internally repetitive boilerplate.
+    - top_{n}gram_frac_e6: coverage of the single most frequent n-gram
+      (max multiplicity / total).
+    - max_token_run: longest run of the SAME token repeated back-to-back
+      (catches "buy buy buy ..." spam directly).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    out = docs.select(F.col(id_col), toks.alias("_toks"))
+    cols = [F.col(id_col)]
+    for n in ns:
+        grams = F.array_sort(_ngrams(F.col("_toks"), n))
+        total = F.greatest(F.size(grams), F.lit(1))
+        cols.append(
+            _e6((F.size(grams) - F.size(F.array_distinct(grams))) / total).alias(
+                f"dup_{n}gram_frac_e6"
+            )
+        )
+        cols.append(
+            _e6(
+                F.when(F.size(grams) > 0, _max_run(grams)).otherwise(F.lit(0))
+                / total
+            ).alias(f"top_{n}gram_frac_e6")
+        )
+    cols.append(
+        _max_run(F.col("_toks")).cast("long").alias("max_token_run")
+    )
+    return out.select(*cols)
+
+
+def synth_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic messy-URL column derived from (doc_id, source) — the
+    fixture corpus carries no crawl URLs, so both engines synthesize the
+    SAME urls from the same table (the oracle still independently
+    recomputes the normalization). Mess injected: mixed-case scheme+host,
+    explicit default port, variable path depth, tracking params mixed
+    with real ones."""
+    d = F.col(id_col)
+    scheme = F.when(d % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    host = F.when(d % 4 == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.ORG"))).otherwise(
+        F.concat(F.lit("www."), F.col("source"), F.lit(".example.org"))
+    )
+    port = F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/"), F.repeat(F.lit("s/"), (d % 4).cast("int")), F.lit("page"))
+    query = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), d.cast("string"), F.lit("&fbclid=zz")))
+        .when(d % 3 == 1, F.concat(F.lit("?id="), d.cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn(
+        "url", F.concat(scheme, F.lit("://"), host, port, path, query)
+    )
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical URL + parsed components, pure regex/array column ops
+    (portable: identical regexes run in the DuckDB oracle — F.parse_url
+    exists but has no DuckDB twin):
+
+    - host: lowercased authority minus port; reg_domain: last two labels
+      (the PSL-less heuristic — a production swap-in point);
+    - path_depth: non-empty path segments;
+    - canonical_url: lowercase scheme+host, default port dropped,
+      tracking params (utm_*, fbclid, gclid, mc_eid) removed, '?'
+      dropped when nothing survives.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    authority = F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]+)", 1))
+    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
+            lambda t: p.startswith(t),
+        ),
+    )
+    canon_q = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(F.lit(""))
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda s: F.length(s) > 0))
+    return df.select(
+        "*",
+        host.alias("host"),
+        reg_domain.alias("reg_domain"),
+        path_depth.cast("long").alias("path_depth"),
+        F.concat(scheme, F.lit("://"), host, path, canon_q).alias("canonical_url"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Point-in-time join: for every left row, attach the LATEST right row
+    with right.ts <= left.ts within the same `by` group (nulls when no
+    right row precedes). The operator Spark lacks natively; kdb asof /
+    DuckDB ASOF JOIN / pandas merge_asof semantics.
+
+    Plan: tag sides, union on (by, ts, side), one window
+    last(..., ignoreNulls) ordered by (ts, side) with right rows sorting
+    BEFORE left rows at equal ts (<=, not <). ONE hash shuffle on `by`
+    and one per-group sort — the streaming-merge shape; never a range
+    join (which Catalyst executes as per-key cartesian + filter)."""
+    lcols = left.columns
+    r = right.select(
+        F.col(by), F.col(ts_col), F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    l = left.select(
+        *lcols, F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(dict(right.dtypes)[ts_col]).alias("_r_ts"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[c for c in u.columns if not c.startswith("_")],
+        F.col("_side"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
