@@ -1085,6 +1085,102 @@ def asof_join_events(spark, sf_dir):
 
 
 @q(
+    "interval_join_events",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS err_id, l.user_id,
+           CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def interval_join_events(spark, sf_dir):
+    """Interval-containment join via time-bucketed equi-join
+    (ops/webtext.interval_join): every error within 30 minutes after each
+    click, per user. The oracle is DuckDB's plain inequality join; the
+    Spark plan is ONE equi-join on (user_id, bucket) with fan-out <= 2
+    buckets per interval — never the per-key cartesian Catalyst makes of
+    a raw range predicate."""
+    from .ops.webtext import interval_join
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    left = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts")
+    )
+    out = interval_join(
+        left, right, by="user_id", start_col="start_ts", end_col="end_ts",
+        ts_col="ts", bucket_us=1_800_000_000,
+    )
+    return out.select(
+        "click_id", "err_id", "user_id",
+        F.timestamp_diff("MICROSECOND", F.col("start_ts"), F.col("ts")).alias(
+            "delta_us"
+        ),
+    )
+
+
+@q(
+    "text_redact_pii",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+               WHEN 1 THEN ' call 555-867-5309'
+               WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               ELSE '' END AS text
+      FROM documents
+    ), r1 AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), r2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phone,
+             regexp_replace(t1, '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS t2
+      FROM r1
+    )
+    SELECT doc_id, n_email, n_phone,
+           CAST(len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')) AS redacted_md5
+    FROM r2
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII redaction pass (ops/webtext.redact_pii) over documents with
+    deterministically injected emails/phones/IPs (the corpus carries
+    none): per-class removal counts plus an md5 of the scrubbed text so
+    the full replacement output is hash-checked without shipping it. The
+    oracle replays the same ordered replace chain with RE2 regexes
+    (patterns kept Java/RE2-identical on purpose)."""
+    from .ops.webtext import redact_pii
+
+    d = F.col("doc_id")
+    aug = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 0, F.concat(F.lit(" contact bob"), d.cast("string"), F.lit("@mail.example.com now")))
+            .when(d % 4 == 1, F.lit(" call 555-867-5309"))
+            .when(d % 4 == 2, F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+@q(
     "rollup_orders",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

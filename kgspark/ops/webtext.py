@@ -169,6 +169,84 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# PII patterns kept RE2-safe (no backrefs/lookaround): they must behave
+# identically under Java regex (Spark) and RE2 (the DuckDB oracle).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Training-data PII scrub: replace each match class with a typed
+    placeholder token ('<EMAIL>'...) and count removals per class —
+    the standard pre-tokenization redaction pass (C4 and successors ship
+    exactly this shape). Pure regexp column ops, map-only; replacement
+    order follows the (ordered) dict, and each class counts/replaces on
+    the output of the previous one, so earlier classes win overlaps —
+    e.g. phone before ipv4 keeps '555-867-5309' from feeding digit runs
+    to later numeric patterns.
+    """
+    pats = patterns or PII_PATTERNS
+    out = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return docs.select("*", *counts).withColumn(f"{text_col}_redacted", out)
+
+
+def _micros(col):
+    """Microseconds since epoch for TIMESTAMP_NTZ columns (the parquet
+    fixtures are NTZ; unix_micros only takes LTZ and casting NTZ->LTZ
+    would drag the session timezone into the result)."""
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_us: int = 300_000_000,
+) -> DataFrame:
+    """Interval-containment join: pairs every left interval
+    [start, end] with the right rows whose ts falls inside it, per `by`
+    group. Catalyst turns a raw `l.start <= r.ts AND r.ts <= l.end`
+    predicate into per-key cartesian + filter; this is the bucketed
+    range-join instead: explode each interval to the fixed-width time
+    buckets it covers (fan-out bounded by interval_len/bucket + 1), map
+    each right row to its single bucket, ONE equi-join on (by, bucket),
+    then the exact containment filter. Each pair meets in exactly one
+    bucket (the right row's), so no dedup pass is needed. Pick bucket_us
+    on the order of the typical interval length."""
+    l = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(_micros(F.col(start_col)) / bucket_us),
+                F.floor(_micros(F.col(end_col)) / bucket_us),
+            )
+        ),
+    )
+    r = right.withColumn("_bkt", F.floor(_micros(F.col(ts_col)) / bucket_us))
+    joined = l.join(r, [by, "_bkt"]).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_bkt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -91,3 +91,97 @@ def test_asof_join_single_shuffle_no_cartesian(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     # one hash-partitioning exchange per union branch on the by key, none after
     assert plan.count("hashpartitioning(user_id") <= 2, plan
+
+def test_interval_join_brute_force_parity(spark):
+    """Bucketed interval join == the naive inequality join, including
+    intervals spanning multiple buckets and boundary-exact timestamps."""
+    import datetime as dt
+
+    e = dt.datetime(2020, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [
+            (1, 10, e, e + 100 * sec),          # spans 2 buckets at 60s
+            (2, 10, e + 50 * sec, e + 55 * sec),
+            (3, 77, e, e + 500 * sec),          # spans many buckets
+            (4, 99, e, e + 10 * sec),           # no right rows
+        ],
+        "iv_id long, user_id long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, e),                # == start boundary of iv 1
+            (101, 10, e + 55 * sec),     # == end boundary of iv 2
+            (102, 10, e + 101 * sec),    # just outside iv 1
+            (103, 77, e + 499 * sec),
+            (104, 55, e),                # no left interval
+        ],
+        "ev_id long, user_id long, ts timestamp_ntz",
+    )
+    got = {
+        (r["iv_id"], r["ev_id"])
+        for r in W.interval_join(
+            left, right, by="user_id", start_col="start_ts",
+            end_col="end_ts", ts_col="ts", bucket_us=60_000_000,
+        ).collect()
+    }
+    naive = {
+        (r["iv_id"], r["ev_id"])
+        for r in left.join(right, "user_id")
+        .where((F.col("ts") >= F.col("start_ts")) & (F.col("ts") <= F.col("end_ts")))
+        .collect()
+    }
+    assert got == naive
+    assert (1, 100) in got and (2, 101) in got and (3, 103) in got
+    assert (1, 102) not in got
+
+
+def test_interval_join_is_equi_join(spark):
+    """The scale contract: ONE equi-join, no per-key cartesian from the
+    raw range predicate."""
+    import datetime as dt
+
+    e = dt.datetime(2020, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 10, e, e)], "iv_id long, user_id long, start_ts timestamp_ntz, end_ts timestamp_ntz"
+    )
+    right = spark.createDataFrame([(2, 10, e)], "ev_id long, user_id long, ts timestamp_ntz")
+    plan = (
+        W.interval_join(
+            left, right, by="user_id", start_col="start_ts",
+            end_col="end_ts", ts_col="ts",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_redact_pii_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@x-1.example.com or d@e.io now"),
+            (1, "call 555-867-5309 from 10.0.0.7 twice: 555-000-1111"),
+            (2, "clean text"),
+            # all-numeric 'domain' is no email (TLD must be alphabetic),
+            # so the address body scrubs as an IPv4 instead
+            (3, "ping a@1.2.3.4 ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in W.redact_pii(docs).collect()}
+    assert rows[0]["n_email"] == 2 and rows[0]["n_phone"] == 0
+    assert rows[0]["text_redacted"] == "mail <EMAIL> or <EMAIL> now"
+    assert rows[1]["n_phone"] == 2 and rows[1]["n_ipv4"] == 1
+    assert rows[1]["text_redacted"] == "call <PHONE> from <IPV4> twice: <PHONE>"
+    assert rows[2]["n_email"] == rows[2]["n_phone"] == rows[2]["n_ipv4"] == 0
+    assert rows[2]["text_redacted"] == "clean text"
+    assert rows[3]["n_email"] == 0 and rows[3]["n_ipv4"] == 1
+    assert rows[3]["text_redacted"] == "ping a@<IPV4> ok"
+    # original text column untouched
+    assert rows[1]["text"].startswith("call 555-")
+
+
+def test_redact_pii_map_only(spark):
+    docs = spark.createDataFrame([(0, "x@y.zz")], "doc_id long, text string")
+    plan = W.redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
