@@ -730,10 +730,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(corpus, shingle_n=4, threshold=0.5, max_df=20)
 
 
-@q(
-    "dedup_minhash_lsh",
-    _TWIN_SQL
-    + """
+# MinHash CTE chain (corpus -> candidate pairs), shared by the pair query
+# and the cluster-resolution query below.
+_MINHASH_CTES = """
     , sh AS (
       -- blank/null docs carry no shingles (mirrors the Spark-side
       -- length(trim(text)) > 0 filter in minhash_signature)
@@ -763,11 +762,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
       UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
       UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
       UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
+"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    _TWIN_SQL + _MINHASH_CTES + "SELECT a, b FROM pairs",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     corpus = _with_twins(_t(spark, sf_dir, "documents"))
@@ -819,6 +824,82 @@ def dedup_minhash_lsh_fast(spark, sf_dir):
 
 
 QUERIES["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
+
+
+@q(
+    "dedup_cluster_keep",
+    _TWIN_SQL.replace("WITH base", "WITH RECURSIVE base", 1)
+    + _MINHASH_CTES
+    + """
+    , sym AS (
+      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ), r AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM corpus
+      UNION
+      SELECT s.b AS node, r.lbl FROM r JOIN sym s ON s.a = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS cluster,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           doc_id = component AS keep
+    FROM comp
+    """,
+)
+def dedup_cluster_keep(spark, sf_dir):
+    """End-to-end near-dup RESOLUTION (ops/dedup.near_dup_clusters):
+    MinHash-LSH pairs -> connected components -> one kept survivor per
+    cluster — `WHERE keep` is the deduplicated corpus. The oracle solves
+    the same near-dup graph by recursive transitive closure (min
+    reachable id per node), so the CC labels, cluster sizes, and keep
+    flags are all hash-checked; singleton docs ride through as their own
+    kept cluster."""
+    corpus = _with_twins(_t(spark, sf_dir, "documents"))
+    out = dedup.near_dup_clusters(corpus, n_hashes=8, n_bands=4, shingle_n=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+        "cluster_size",
+        "keep",
+    )
+
+
+@q(
+    "corpus_span_dedup",
+    _TWIN_SQL
+    + """
+    , chunks AS (
+      SELECT doc_id, c.idx AS chunk_idx, c.chunk FROM (
+        SELECT doc_id,
+               [array_to_string(list_slice(toks, (c - 1) * 10 + 1, c * 10), ' ')
+                for c in range(1, CAST(ceil(len(toks) / 10.0) AS INT) + 1)] AS cs
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus)
+      ), LATERAL (SELECT unnest(cs) AS chunk, generate_subscripts(cs, 1) AS idx) c
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '')) AS kept_md5
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def corpus_span_dedup(spark, sf_dir):
+    """C4-style global span dedup (ops/dedup.span_dedup): the corpus is
+    cut into consecutive 10-token chunks and only the first corpus-wide
+    occurrence of each chunk survives; run on the twin corpus so each
+    twin's chunks genuinely collide with its original's. The surviving
+    text is hash-checked via md5, so the reassembly order is verified,
+    not just the counts."""
+    corpus = _with_twins(_t(spark, sf_dir, "documents"))
+    out = dedup.span_dedup(corpus, chunk_tokens=10)
+    return out.select(
+        "doc_id", "n_chunks", "n_kept", F.md5("text_deduped").alias("kept_md5")
+    )
 
 
 @q(

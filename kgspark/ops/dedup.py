@@ -385,3 +385,117 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
         )
         .where(F.col("hamming") <= k)
     )
+
+
+# --- corpus-level span dedup (C4-style) --------------------------------------
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Global span-level dedup, the C4 move (Raffel et al. 2020 discard
+    repeated three-sentence spans corpus-wide; here the span unit is a
+    fixed token window since the corpus has no sentence boundaries):
+    split each doc into consecutive `chunk_tokens`-token chunks, keep
+    only the FIRST occurrence of each distinct chunk corpus-wide (first =
+    lowest (doc_id, chunk_idx)), and reassemble the surviving text.
+
+    Returns (id_col, n_chunks, n_kept, text_deduped).
+
+    Scale shape: explode -> ONE shuffle on the chunk md5 (min-struct
+    window, map-side combinable via the two-pass groupBy Catalyst
+    rewrites it to) -> ONE shuffle back on doc_id to reassemble. The
+    shuffle payload carries the 32-hex digest + the chunk text once each;
+    at 100 TB the chunk text could be dropped from the wide shuffle and
+    re-derived on reassembly, but carrying it keeps this a 2-shuffle plan.
+    Hot chunks (boilerplate repeated across millions of docs) are exactly
+    the point — the min-struct aggregate combines map-side, so a
+    billion-copy chunk reduces before the wire like any skewed count."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunked = docs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk")))
+    marked = chunked.withColumn(
+        "_first", F.min(F.struct(id_col, "chunk_idx")).over(w)
+    ).withColumn(
+        "_keep",
+        (F.col(f"_first.{id_col}") == F.col(id_col))
+        & (F.col("_first.chunk_idx") == F.col("chunk_idx")),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup resolution — the full training-data dedup
+    pass, not just candidate pairs: MinHash-LSH pairs -> connected
+    components over the near-dup graph -> one canonical survivor per
+    cluster (lowest id). Returns every doc with its cluster id, cluster
+    size, and keep flag, so `WHERE keep` IS the deduplicated corpus.
+
+    Transitivity is deliberate (A~B, B~C merges all three even if A,C
+    never paired — the standard corpus-dedup semantics, same clustering
+    the reference applies to entity surface forms,
+    /root/reference/scripts/assign_canonical_names_simple.py:118-151).
+
+    Scale shape: pairs are the banded equi-join (minhash_lsh_pairs);
+    components are pointer-doubled min-label propagation, O(log diameter)
+    rounds — and near-dup graphs are almost all tiny cliques, so the
+    frontier empties after round 1; singletons ride through the left
+    anti pattern below as their own cluster."""
+    from pyspark.sql import Window
+
+    from ..canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col,
+        n_hashes=n_hashes, n_bands=n_bands, shingle_n=shingle_n,
+    )
+    nodes = docs.select(F.col(id_col).alias("node"))
+    comp = connected_components(
+        nodes, pairs.select(F.col("a"), F.col("b")), max_iter=25
+    )
+    w_sz = F.count("*").over(Window.partitionBy("component"))
+    return (
+        comp.select(F.col("node").alias(id_col), "component")
+        .withColumn("cluster_size", w_sz.cast("long"))
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )

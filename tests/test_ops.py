@@ -537,3 +537,61 @@ def test_ivf_lloyd_recall_on_clustered_fixture(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_span_dedup_pinned(spark):
+    """Global chunk dedup keeps only the first corpus-wide occurrence of
+    each chunk (first = lowest (doc_id, chunk_idx)); reassembly preserves
+    chunk order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # chunks (k=2): 'a b', 'c d'
+            (2, "a b c d"),       # exact copy -> nothing survives
+            (3, "c d x y"),       # 'c d' dropped, 'x y' kept
+            (4, "p q p q"),       # chunk 0 kept, chunk 1 is its own dup
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in dedup.span_dedup(docs, chunk_tokens=2).collect()
+    }
+    assert rows[1]["n_chunks"] == 2 and rows[1]["n_kept"] == 2
+    assert rows[1]["text_deduped"] == "a b c d"
+    assert rows[2]["n_kept"] == 0 and rows[2]["text_deduped"] == ""
+    assert rows[3]["n_kept"] == 1 and rows[3]["text_deduped"] == "x y"
+    # within-doc repeat: first occurrence wins, second drops
+    assert rows[4]["n_kept"] == 1 and rows[4]["text_deduped"] == "p q"
+
+
+def test_span_dedup_ragged_tail_chunk(spark):
+    """A truncated final chunk is its own span: it does not collide with
+    the full-width chunk sharing its prefix."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r for r in dedup.span_dedup(docs, chunk_tokens=3).collect()
+    }
+    assert rows[1]["text_deduped"] == "a b c"
+    assert rows[2]["n_kept"] == 1 and rows[2]["text_deduped"] == "a b"
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C merge into ONE cluster even when A,C are farther
+    apart; exactly one survivor (the lowest id) per cluster; unrelated
+    docs ride through as kept singletons."""
+    seq = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, seq),                                  # A
+            (2, " ".join(f"t{i}" for i in range(16))), # B = 80% of A
+            (3, " ".join(f"t{i}" for i in range(13))), # C = 80% of B
+            (9, "unrelated content about spark engines entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.near_dup_clusters(docs).collect()}
+    assert rows[1]["component"] == rows[2]["component"] == rows[3]["component"] == 1
+    assert rows[1]["cluster_size"] == 3
+    assert rows[1]["keep"] and not rows[2]["keep"] and not rows[3]["keep"]
+    assert rows[9]["component"] == 9 and rows[9]["cluster_size"] == 1 and rows[9]["keep"]
