@@ -1262,6 +1262,103 @@ def text_redact_pii(spark, sf_dir):
 
 
 @q(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term AS term
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(floor(tf.tf * 1000000 * n.n_docs / df.df) AS BIGINT) AS score_e6,
+             row_number() OVER (
+               PARTITION BY tf.doc_id ORDER BY floor(tf.tf * 1000000 * n.n_docs / df.df) DESC, tf.term ASC
+             ) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score_e6, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF
+    (ops/textstats.tfidf_topk). The oracled variant uses the exact
+    integer ratio-idf score (floor(tf*1e6*N/df) in BIGINT — ln() could
+    flip an e6 floor by a last-ulp difference across engines); the
+    textbook log-idf mode is pytest-pinned instead."""
+    from .ops.textstats import tfidf_topk
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = tfidf_topk(docs, k=3, idf_mode="ratio_e6")
+    return out.select("doc_id", "term", "tf", "df", "score_e6", "rank")
+
+
+@q(
+    "sample_stratified",
+    """
+    SELECT doc_id, source, CAST(rank AS INT) AS sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rank
+      FROM documents
+    ) WHERE rank <= 20
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic 20-per-source stratified sample
+    (ops/sampling.stratified_sample): the data-mixing draw — uniform via
+    md5(id) order, reproducible with no RNG state, identical in any
+    engine."""
+    from .ops.sampling import stratified_sample
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return stratified_sample(docs, "source", k=20).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+@q(
+    "pack_sequences",
+    """
+    SELECT doc_id, n_tokens, tok_offset,
+           tok_offset // 256 AS seq_id,
+           tok_offset % 256 AS seq_offset,
+           (tok_offset % 256 + n_tokens - 1) // 256 + 1 AS n_seqs_spanned
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(len(string_split_regex(text, '\\s+')))
+                    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS tok_offset
+      FROM documents
+    )
+    """,
+)
+def pack_sequences_docs(spark, sf_dir):
+    """GPT-style sequence-packing metadata (ops/sampling.pack_sequences):
+    concatenate the corpus in doc_id order, cut every 256 tokens; each
+    doc reports its global token offset, landing sequence, in-sequence
+    offset, and how many sequences it spans. The Spark side computes the
+    global running offset as a DISTRIBUTED prefix sum (block subtotals +
+    broadcast block prefixes); the oracle is the plain single-window
+    cumsum the distributed form must equal exactly."""
+    from .ops.sampling import pack_sequences
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = pack_sequences(docs, budget=256, block_size=64)
+    # 'offset' is a reserved word on the DuckDB side
+    return out.withColumnRenamed("offset", "tok_offset")
+
+
+@q(
     "rollup_orders",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

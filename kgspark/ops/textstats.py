@@ -112,3 +112,57 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         F.md5(F.array_join(F.array_sort(_tokens(text_col)), " ")).alias("fp"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    idf_mode: str = "log",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF:
+    (id, term, tf, df, score..., rank). Ties break on term asc so the
+    result is total-ordered.
+
+    idf_mode='log' (default): score = tf * ln(N/df) as double — the
+    textbook weight, engine floating point. idf_mode='ratio_e6':
+    score_e6 = floor(tf * 1e6 * N / df) in exact BIGINT arithmetic —
+    bit-identical across engines, which is what the DuckDB-oracled query
+    uses (ln() last-ulp differences could flip an e6 floor; see the
+    portability notes in MEMORY).
+
+    Scale shape: explode -> (doc,term) count [shuffle 1] -> term df
+    [shuffle 2, vocabulary-sized output, map-side combined] -> join back
+    on term [AQE broadcasts when the vocab is small] -> per-doc top-k
+    window [shuffle 3 on doc]. The corpus size N joins in as a
+    broadcast single row, never a driver-side collect in the plan."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = tf.join(df, "term").join(F.broadcast(n))
+    if idf_mode == "ratio_e6":
+        scored = scored.withColumn(
+            "score_e6",
+            F.floor(F.col("tf") * F.lit(1_000_000) * F.col("n_docs") / F.col("df"))
+            .cast("long"),
+        )
+        order = [F.col("score_e6").desc(), F.col("term").asc()]
+    elif idf_mode == "log":
+        scored = scored.withColumn(
+            "score", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+        order = [F.col("score").desc(), F.col("term").asc()]
+    else:
+        raise ValueError(f"unknown idf_mode {idf_mode!r}")
+    w = Window.partitionBy(id_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("n_docs")
+    )
