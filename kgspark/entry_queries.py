@@ -1358,6 +1358,72 @@ def pack_sequences_docs(spark, sf_dir):
     return out.withColumnRenamed("offset", "tok_offset")
 
 
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled PageRank recurrence (one CTE per iteration — recursive
+    CTEs disallow the GROUP BY the contribution sum needs). Exact BIGINT
+    arithmetic throughout: identical to ops/graph.pagerank e12 mode."""
+    ctes = [
+        f"""m AS (
+      SELECT DISTINCT doc_id, t.term AS term
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+      WHERE t.term IN {_GAZ_SQL}
+    ), e AS (
+      SELECT DISTINCT a.term AS src, b.term AS dst
+      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term <> b.term
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT DISTINCT term AS node, CAST(1000000000000 AS BIGINT) AS rank FROM m
+    )"""
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""r{i + 1} AS (
+      SELECT n.node,
+             CAST(150000000000 + coalesce(s.inc, 0) AS BIGINT) AS rank
+      FROM (SELECT node FROM r0) n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum((r.rank * 85 // 100) // d.deg) AS inc
+        FROM r{i} r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s USING (node)
+    )"""
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"\n    SELECT node, rank AS rank_e12 FROM r{n_iter}"
+    )
+
+
+@q("graph_pagerank", _pagerank_oracle_sql(5))
+def graph_pagerank(spark, sf_dir):
+    """Entity importance on the co-occurrence KG (ops/graph.pagerank):
+    5 iterations of exact e12 fixed-point PageRank over the undirected
+    gazetteer co-mention graph. Integer shares + BIGINT sums make the
+    iteration bit-identical at any parallelism, so the oracle (the same
+    recurrence unrolled as chained CTEs) hash-matches the full rank
+    vector, not just the ordering."""
+    from .ops.graph import pagerank
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    m = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .where(F.col("term").isin(GAZ))
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("term").alias("src"))
+    b = m.select("doc_id", F.col("term").alias("dst"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = m.select(F.col("term").alias("node")).distinct()
+    return pagerank(nodes, edges, n_iter=5, mode="e12")
+
+
 @q(
     "rollup_orders",
     """
