@@ -1358,6 +1358,69 @@ def pack_sequences_docs(spark, sf_dir):
     return out.withColumnRenamed("offset", "tok_offset")
 
 
+@q(
+    "stats_group_quantiles",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS q50,
+           max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN n_chars END) AS q95
+    FROM ranked GROUP BY source
+    """,
+)
+def stats_group_quantiles(spark, sf_dir):
+    """Exact per-source doc-length quantiles (ops/stats.group_quantiles):
+    discrete rank formula (element at ceil(q*n) under a total order)
+    instead of engine percentile builtins, whose interpolation
+    conventions differ — so p50/p95 hash-match exactly."""
+    from .ops.stats import group_quantiles
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return group_quantiles(docs, "source", "n_chars", qs=(0.5, 0.95))
+
+
+@q(
+    "stats_outliers",
+    """
+    WITH vals AS (
+      SELECT doc_id, source,
+             CAST(n_chars * (CASE WHEN doc_id % 97 = 0 THEN 10 ELSE 1 END) AS BIGINT) AS x
+      FROM documents
+    ), mom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ssq
+      FROM vals GROUP BY source
+    )
+    SELECT v.doc_id, v.source, v.x
+    FROM vals v JOIN mom m USING (source)
+    WHERE (m.n * v.x - m.s) * (m.n * v.x - m.s) > 9 * (m.n * m.ssq - m.s * m.s)
+    """,
+)
+def stats_outliers(spark, sf_dir):
+    """Exact z-score outlier flagging (ops/stats.outlier_zscore) on
+    doc lengths with deterministically injected 10x anomalies (every
+    97th doc): z > 3 decided by the integer inequality
+    (n*x - s)^2 > 9*(n*ssq - s^2) — no sqrt, no doubles, bit-identical
+    flag set in any engine."""
+    from .ops.stats import outlier_zscore
+
+    d = F.col("doc_id")
+    vals = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") * F.when(d % 97 == 0, 10).otherwise(1))
+        .cast("long")
+        .alias("x"),
+    )
+    return outlier_zscore(vals, "source", "x", k=3).select("doc_id", "source", "x")
+
+
 def _pagerank_oracle_sql(n_iter: int = 5) -> str:
     """Unrolled PageRank recurrence (one CTE per iteration — recursive
     CTEs disallow the GROUP BY the contribution sum needs). Exact BIGINT
