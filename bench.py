@@ -130,6 +130,10 @@ HEADLINE = [
     "text_quality_score",
     "ann_cosine_topk",
     "events_sessionize",
+    "corpus_span_dedup",
+    "text_tfidf_topk",
+    "pack_sequences",
+    "graph_pagerank",
 ]
 
 

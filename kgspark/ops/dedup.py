@@ -405,17 +405,12 @@ def span_dedup(
 
     Returns (id_col, n_chunks, n_kept, text_deduped).
 
-    Scale shape: explode -> ONE shuffle on the chunk md5 (min-struct
-    window, map-side combinable via the two-pass groupBy Catalyst
-    rewrites it to) -> ONE shuffle back on doc_id to reassemble. The
-    shuffle payload carries the 32-hex digest + the chunk text once each;
-    at 100 TB the chunk text could be dropped from the wide shuffle and
-    re-derived on reassembly, but carrying it keeps this a 2-shuffle plan.
-    Hot chunks (boilerplate repeated across millions of docs) are exactly
-    the point — the min-struct aggregate combines map-side, so a
-    billion-copy chunk reduces before the wire like any skewed count."""
-    from pyspark.sql import Window
-
+    Scale shape: explode -> shuffle on the chunk md5; the winner per
+    chunk is a groupBy min-struct (NOT a window: the partial aggregate
+    combines map-side, so a billion-copy boilerplate chunk reduces
+    before the wire instead of sorting one hot partition), the join back
+    rides the same hashpartitioning (ReusedExchange, winner side is
+    distinct-chunk-sized) -> ONE shuffle back on doc_id to reassemble."""
     toks = F.split(F.col(text_col), r"\s+")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunked = docs.select(
@@ -428,11 +423,11 @@ def span_dedup(
                 ),
             )
         ).alias("chunk_idx", "chunk"),
+    ).withColumn("_h", F.md5(F.col("chunk")))
+    winners = chunked.groupBy("_h").agg(
+        F.min(F.struct(id_col, "chunk_idx")).alias("_first")
     )
-    w = Window.partitionBy(F.md5(F.col("chunk")))
-    marked = chunked.withColumn(
-        "_first", F.min(F.struct(id_col, "chunk_idx")).over(w)
-    ).withColumn(
+    marked = chunked.join(winners, "_h").withColumn(
         "_keep",
         (F.col(f"_first.{id_col}") == F.col(id_col))
         & (F.col("_first.chunk_idx") == F.col("chunk_idx")),
