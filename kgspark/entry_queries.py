@@ -1358,6 +1358,72 @@ def pack_sequences_docs(spark, sf_dir):
     return out.withColumnRenamed("offset", "tok_offset")
 
 
+def _bloom_pos_sql(key: str, salt: int) -> str:
+    """16-bit position from md5 nibbles — DuckDB twin of webtext._bloom_pos
+    (same shape as the dedup_simhash oracle's nibble arithmetic)."""
+    h = f"md5({key} || '#{salt}')"
+    return (
+        f"((strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substring({h}, 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substring({h}, 4, 1)) - 1))"
+    )
+
+
+@q(
+    "bloom_incremental_dedup",
+    f"""
+    WITH hist AS (
+      SELECT md5(text) AS key FROM documents WHERE doc_id < 250
+    ), newbatch AS (
+      SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id, md5(text) AS key
+      FROM documents WHERE doc_id < 250
+    ), pos AS (
+      SELECT p FROM hist, unnest([{", ".join(_bloom_pos_sql("key", i) for i in range(3))}]) AS u(p)
+    ), bloom AS (
+      SELECT p // 32 AS block, bit_or(CAST(1 AS BIGINT) << (p % 32)) AS mask
+      FROM pos GROUP BY p // 32
+    )
+    SELECT n.doc_id,
+           {" AND ".join(
+               "coalesce(((SELECT mask FROM bloom b WHERE b.block = "
+               + _bloom_pos_sql("n.key", i) + " // 32) >> ("
+               + _bloom_pos_sql("n.key", i) + " % 32)) & 1 = 1, FALSE)"
+               for i in range(3)
+           )} AS maybe_seen
+    FROM newbatch n
+    """,
+)
+def bloom_incremental_dedup(spark, sf_dir):
+    """Incremental-crawl screening (ops/webtext.bloom_build /
+    bloom_might_contain): the historical corpus (doc_id < 250)
+    compresses to a 2048-row Bloom table; the new batch — genuinely new
+    docs plus re-crawled copies of 250 old ones — is screened with three
+    broadcast joins, no shuffle of the batch and no join against
+    history. The bit layout is pure md5 arithmetic, so the oracle
+    rebuilds the identical filter and the verdicts (deterministic false
+    positives included) hash-match. Every re-crawl MUST flag true (no
+    false negatives, pytest-pinned too)."""
+    from .ops.webtext import bloom_build, bloom_might_contain
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    hist = docs.where(F.col("doc_id") < 250).select(F.md5("text").alias("key"))
+    new = (
+        docs.where(F.col("doc_id") >= 250)
+        .select("doc_id", F.md5("text").alias("key"))
+        .unionByName(
+            docs.where(F.col("doc_id") < 250).select(
+                (F.col("doc_id") + 20000000).alias("doc_id"),
+                F.md5("text").alias("key"),
+            )
+        )
+    )
+    bloom = bloom_build(hist, "key", k=3)
+    return bloom_might_contain(new, bloom, "key", k=3).select("doc_id", "maybe_seen")
+
+
 @q(
     "stats_group_quantiles",
     """

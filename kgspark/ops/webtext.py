@@ -291,3 +291,68 @@ def asof_join(
         F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
     )
     return filled.where(F.col("_side") == 1).drop("_side")
+
+
+# --- incremental-crawl Bloom filter ------------------------------------------
+#
+# Spark's built-in bloom_filter_agg is an internal expression (not exposed on
+# this build), and its serialized format would be engine-opaque anyway. This
+# is a from-scratch Bloom filter whose bit layout is pure arithmetic over
+# md5, so the DuckDB oracle can reproduce the filter AND the membership
+# verdicts bit-for-bit — false positives included (they are a deterministic
+# function of the layout, not noise).
+
+
+def _bloom_pos(key_col, salt: int):
+    """16-bit hash position: first 4 hex chars of md5(key || '#salt').
+    conv() is exact here (4 hex chars), identical to the DuckDB nibble
+    arithmetic the oracle uses."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key_col, F.lit(f"#{salt}"))), 1, 4), 16, 10
+    ).cast("long")
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = 3) -> DataFrame:
+    """Build a 65536-bit Bloom filter over key_col as a 2048-row
+    (block, mask) table of 32-bit blocks (bit 63 stays clear: DuckDB's
+    BIGINT << traps on 1<<63, so the oracle could not rebuild a 64-bit
+    layout). Per key, k 16-bit positions; bit_or the per-block masks.
+    ONE map-side-combined shuffle on block (2048 groups); the
+    result broadcasts anywhere. The classic incremental-crawl structure:
+    yesterday's corpus compresses to 8 KiB that every executor can hold,
+    so screening a new batch never joins the historical table."""
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(key_col), i) for i in range(k)])
+        ).alias("pos")
+    )
+    return pos.groupBy((F.col("pos") / 32).cast("long").alias("block")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        ).alias("mask")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame, bloom: DataFrame, key_col: str, k: int = 3,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Screen df against a bloom_build table: k broadcast joins (map-only,
+    no shuffle of df) then an all-bits-set AND. False positives at the
+    standard (1 - e^{-kn/m})^k rate; false negatives never."""
+    out = df
+    cond = F.lit(True)
+    for i in range(k):
+        b = bloom.select(
+            F.col("block").alias(f"_blk{i}"), F.col("mask").alias(f"_mask{i}")
+        )
+        pos = _bloom_pos(F.col(key_col), i)
+        out = out.withColumn(f"_blk{i}", (pos / 32).cast("long")).join(
+            F.broadcast(b), f"_blk{i}", "left"
+        ).withColumn(f"_bit{i}", (pos % 32).cast("int"))
+        cond = cond & F.coalesce(
+            F.expr(f"(shiftrightunsigned(_mask{i}, _bit{i}) & 1) = 1"),
+            F.lit(False),
+        )
+    out = out.withColumn(out_col, cond)
+    return out.drop(*[c for i in range(k) for c in (f"_blk{i}", f"_mask{i}", f"_bit{i}")])

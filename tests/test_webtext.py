@@ -185,3 +185,26 @@ def test_redact_pii_map_only(spark):
     docs = spark.createDataFrame([(0, "x@y.zz")], "doc_id long, text string")
     plan = W.redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+def test_bloom_no_false_negatives_and_plan(spark):
+    hist = spark.range(200).select(F.concat(F.lit("doc-"), F.col("id")).alias("key"))
+    bloom = W.bloom_build(hist, "key", k=3)
+    assert bloom.count() <= 2048
+    probe = spark.range(400).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc-"), F.col("id")).alias("key")
+    )
+    out = W.bloom_might_contain(probe, bloom, "key", k=3).collect()
+    seen = {r["doc_id"]: r["maybe_seen"] for r in out}
+    # zero false negatives: every historical key must flag
+    assert all(seen[i] for i in range(200))
+    # the filter actually discriminates: most unseen keys pass through
+    fp = sum(1 for i in range(200, 400) if seen[i])
+    assert fp < 40  # ~(1-e^{-3*200/65536})^3 ~ 1e-6; 40 is a loose ceiling
+    # scale contract: screening is map-only over the batch — broadcast
+    # joins, no exchange of the probe side
+    plan = (
+        W.bloom_might_contain(probe, bloom, "key", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
