@@ -25,7 +25,7 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT / "tools"))
 from bench_scaling_child import read_steal_ticks  # noqa: E402
 
-OUT = ROOT / "BENCH" / "scaling_hunt_r04.jsonl"
+OUT = ROOT / "BENCH" / "scaling_hunt_r05.jsonl"
 PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 45000
 
 
