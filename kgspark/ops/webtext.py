@@ -4,7 +4,7 @@ join.
 
 Reference parity: the reference corpus loaders normalize scraped page
 identity and filter boilerplate before linking
-(/root/reference/scripts/extract_1911_census.py's cleanup pass and the
+(/root/reference/scripts/parse_1911_v1t1_sk.py's cleanup pass and the
 crawl-manifest handling in its ingest docs); these operators are the
 Spark-first generalization a 100 TB web corpus needs.
 
@@ -31,8 +31,12 @@ from pyspark.sql import functions as F
 TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "mc_eid")
 
 
-def _e6(col):
-    return F.floor(col * 1000000.0).cast("long")
+def _e6(num, den):
+    """Fixed-point e6 ratio with multiply-BEFORE-divide: floor(num*1e6/den).
+    Dividing first (floor((num/den)*1e6)) double-rounds and can flip the
+    floor at exact boundaries (num=41, den=80: 512499 vs 512500) — the
+    DuckDB oracle multiplies first, so this must too (round-5 advice)."""
+    return F.floor(num * 1000000.0 / den).cast("long")
 
 
 def _ngrams(toks, n: int):
@@ -91,14 +95,14 @@ def repetition_stats(
         grams = F.array_sort(_ngrams(F.col("_toks"), n))
         total = F.greatest(F.size(grams), F.lit(1))
         cols.append(
-            _e6((F.size(grams) - F.size(F.array_distinct(grams))) / total).alias(
+            _e6(F.size(grams) - F.size(F.array_distinct(grams)), total).alias(
                 f"dup_{n}gram_frac_e6"
             )
         )
         cols.append(
             _e6(
-                F.when(F.size(grams) > 0, _max_run(grams)).otherwise(F.lit(0))
-                / total
+                F.when(F.size(grams) > 0, _max_run(grams)).otherwise(F.lit(0)),
+                total,
             ).alias(f"top_{n}gram_frac_e6")
         )
     cols.append(

@@ -143,28 +143,24 @@ def stream_mention_sessions(
         runs.append((s, e, n))
         closed = []
         if state.exists:
-            start_us, last_us, cnt = state.get
-            if runs[0][0] > last_us + gap_us:
-                # silence between the stored session and the batch: close it
-                closed.append((start_us, last_us, cnt))
-            else:
-                r0 = runs[0]
-                runs[0] = (min(start_us, r0[0]), max(last_us, r0[1]), cnt + r0[2])
-                # The stored session can extend PAST later in-batch bursts
-                # (out-of-order events inside the watermark: state last=95m,
-                # batch carries late bursts at 36m and 70m). Re-coalesce
-                # adjacent runs so the merge can't close a session at 95m
-                # while keeping an "open" run starting at 70m — which would
-                # emit overlapping sessions and move last_us backwards.
-                i = 0
-                while i + 1 < len(runs):
-                    if runs[i + 1][0] <= runs[i][1] + gap_us:
-                        a, b = runs[i], runs[i + 1]
-                        runs[i : i + 2] = [
-                            (min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2])
-                        ]
-                    else:
-                        i += 1
+            # The stored session joins the batch's bursts as its OWN run;
+            # sorting by start and coalescing adjacents then decides every
+            # merge uniformly. (Merging state into runs[0] whenever
+            # runs[0].start <= last+gap bridged the silence between a late
+            # in-batch burst and a LATER-starting stored session — state
+            # 90-95m, late burst 36m, gap 10m emitted one 36-95m session
+            # instead of closing the burst separately; round-5 advice.)
+            runs.append(state.get)
+            runs.sort(key=lambda r: r[0])
+            i = 0
+            while i + 1 < len(runs):
+                if runs[i + 1][0] <= runs[i][1] + gap_us:
+                    a, b = runs[i], runs[i + 1]
+                    runs[i : i + 2] = [
+                        (a[0], max(a[1], b[1]), a[2] + b[2])
+                    ]
+                else:
+                    i += 1
         # every burst but the trailing one is followed by >= gap of silence
         # within the batch itself — close them now; the trailing burst stays
         # open in state (the next batch or the timeout decides its fate)

@@ -267,3 +267,61 @@ def test_stream_sessions_out_of_order_late_burst(tmp_path, spark):
 
     out = {(r["session_start"], r["session_end"]): r["n_mentions"] for r in got}
     assert out == {(t0, t0 + dt.timedelta(minutes=84)): 6}
+
+
+def test_stream_sessions_late_burst_before_stored_session(tmp_path, spark):
+    """Late bursts that end >= gap BEFORE the stored session STARTS must
+    close as their own sessions, not merge into it: state (90m..95m) open,
+    gap 10m, late batch carries bursts at 36m and 70m. Merging state into
+    the first batch run whenever run.start <= state.last + gap bridged the
+    36m->90m silence into one 36-95m session (round-5 advice); appending
+    the state as its own run + sort + adjacent-coalesce closes 36m and 70m
+    separately and keeps 90-95m open."""
+    import datetime as dt
+
+    pages_dir = str(tmp_path / "spages4")
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, fixtures.PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+
+    # batch 1: stored session 90m..95m
+    write([
+        ("u1", t0 + dt.timedelta(minutes=90), None, "canada opens", "en"),
+        ("u2", t0 + dt.timedelta(minutes=95), None, "canada holds", "en"),
+    ])
+    stream = streaming.stream_pages(spark, pages_dir)
+    sessions = streaming.stream_mention_sessions(
+        stream, ["Canada"], gap="10 minutes", watermark="10 hours"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions_early_late")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: late bursts well BEFORE the stored session, separated
+        # from each other and from 90m by > gap
+        write([
+            ("u3", t0 + dt.timedelta(minutes=36), None, "canada late", "en"),
+            ("u4", t0 + dt.timedelta(minutes=70), None, "canada later", "en"),
+        ])
+        q.processAllAvailable()
+        for i, hours in enumerate((20, 21)):  # watermark past 95m+gap
+            write([(f"f{i}", t0 + dt.timedelta(hours=hours), None, "filler", "en")])
+            q.processAllAvailable()
+        got = spark.sql("select * from t_sessions_early_late").collect()
+    finally:
+        q.stop()
+
+    out = {(r["session_start"], r["session_end"]): r["n_mentions"] for r in got}
+    m = dt.timedelta
+    assert out == {
+        (t0 + m(minutes=36), t0 + m(minutes=36)): 1,
+        (t0 + m(minutes=70), t0 + m(minutes=70)): 1,
+        (t0 + m(minutes=90), t0 + m(minutes=95)): 2,
+    }
