@@ -107,6 +107,12 @@ QUIET_SLEEP_SEC = float(os.environ.get("BENCH_QUIET_SLEEP_SEC", "45"))
 # 4-thread high side is also far less exposed to neighbor-VM core pressure.
 SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW", "1"))
 SCALE_HIGH = int(os.environ.get("BENCH_SCALE_HIGH", "4"))
+# Opportunistic pairs collected across the round by tools/scaling_hunt.py —
+# the SAME pinned child with the same gates, logged one JSON line per
+# observation. Merged into the estimator below (round-5 verdict #2: the
+# bench's own 40-minute window missed every quiet minute of a bursty
+# evening while in-round hunter pairs would have been valid evidence).
+HUNT_LOG = os.environ.get("BENCH_HUNT_LOG", "scaling_hunt_r06.jsonl")
 # The KG pipeline is a ~50-stage plan; whole-stage-codegen compilation of it
 # costs ~60s of serial driver time per plan shape — on a long-lived cluster
 # that amortizes to zero, in a seconds-scale bench it IS the measurement.
@@ -134,6 +140,10 @@ HEADLINE = [
     "text_tfidf_topk",
     "pack_sequences",
     "graph_pagerank",
+    # round 6: the consensus stage gained a driver oracle and
+    # group_quantiles switched to histogram rank selection — track both
+    "kg_pipeline_consensus",
+    "stats_group_quantiles",
 ]
 
 
@@ -187,6 +197,44 @@ def _run_child(master: str, n_pages: int) -> dict | None:
     return None
 
 
+def _hunter_rounds(n_pages: int) -> list[dict]:
+    """Load completed low/high pairs from this round's scaling-hunt ledger
+    (tools/scaling_hunt.py runs tools/bench_scaling_child.py — the same
+    pinned measurement — whenever it sees a quiet window). Each pair joins
+    the rounds list tagged source=hunter and passes through the SAME
+    clean/correctable gates as live rounds, including the relative band
+    against each side's best across ALL rounds."""
+    path = Path(__file__).parent / "BENCH" / HUNT_LOG
+    if not path.exists():
+        return []
+    by_round: dict[int, dict] = {}
+    sides = {f"local[{SCALE_LOW}]": "low", f"local[{SCALE_HIGH}]": "high"}
+    for line in path.read_text().splitlines():
+        try:
+            o = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "aborted" in o or "dt_sec" not in o or o.get("pages") != n_pages:
+            continue
+        side = sides.get(o.get("master"))
+        if side is None or o.get("hunt_round") is None:
+            continue
+        by_round.setdefault(o["hunt_round"], {})[side] = o
+    out = []
+    for hr in sorted(by_round):
+        pair = by_round[hr]
+        if "low" in pair and "high" in pair:
+            out.append(
+                {
+                    "round": f"hunter-{hr}",
+                    "low": pair["low"],
+                    "high": pair["high"],
+                    "source": "hunter",
+                }
+            )
+    return out
+
+
 def measure_scaling(n_pages: int, repeats: int) -> dict:
     """North-rule evidence: the same KG job at N and 4N cores.
 
@@ -215,7 +263,16 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
         the efficiency value itself (no stop-when-it-looks-good bias).
     """
     m_low, m_high = f"local[{SCALE_LOW}]", f"local[{SCALE_HIGH}]"
-    rounds: list[dict] = []  # {"round": i, "low": obs|None, "high": obs|None}
+    # {"round": i, "low": obs|None, "high": obs|None}; seeded with this
+    # round's opportunistic hunter pairs (same child, same gates)
+    rounds: list[dict] = _hunter_rounds(n_pages)
+    if rounds:
+        print(
+            f"[scaling] merged {len(rounds)} completed pair(s) from "
+            f"BENCH/{HUNT_LOG}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     def frac(o: dict) -> float:
         return o.get("steal_frac_cap", 9.9)
@@ -366,6 +423,7 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
             "n_rounds": len(complete),
             "n_clean_rounds": len(clean),
             "n_correctable_rounds": len(correctable),
+            "n_hunter_rounds": len([r for r in complete if r.get("source") == "hunter"]),
             "clean_frac": CLEAN_FRAC,
             "corr_frac": CORR_FRAC,
         }
@@ -411,6 +469,11 @@ def measure_scaling(n_pages: int, repeats: int) -> dict:
 
     t_start = time.time()
     for rnd in range(MAX_REPEATS):
+        if len([x for x in rounds if round_clean(x)]) >= repeats:
+            # hunter pairs already satisfy the clean-round quota: don't
+            # burn the (possibly noisy) bench window on redundant rounds
+            print("[scaling] clean quota met by merged rounds", file=sys.stderr)
+            break
         r: dict = {"round": rnd, "low": None, "high": None}
         # alternate which side goes first so a drifting host doesn't always
         # bias the same side of the ratio
@@ -549,6 +612,26 @@ def main() -> None:
     results["kg_pipeline"] = high["best_sec"]
     n_pages = SCALE_PAGES
 
+    # Fallback primary metric (round-5 verdict #6): when the scaling phase
+    # lands zero usable rounds, kg_triples_per_sec must still be measured —
+    # one high-side pipeline child, up to 3 attempts (the child self-aborts
+    # on warmup steal, so a failed attempt costs ~1 min). Labeled in the
+    # output; it feeds value/pages_per_sec/kg_pipeline, never the
+    # efficiency estimate.
+    value = high["triples_per_sec"]
+    pages_per_sec = high["pages_per_sec"]
+    pipeline_fallback = None
+    if high["best_sec"] == 0.0:
+        for _ in range(3):
+            o = _run_child(f"local[{SCALE_HIGH}]", SCALE_PAGES)
+            if o is not None:
+                pipeline_fallback = o
+                results["kg_pipeline"] = o["dt_sec"]
+                value = round(o["triples"] / o["dt_sec"], 1)
+                pages_per_sec = round(SCALE_PAGES / o["dt_sec"], 1)
+                break
+            time.sleep(60)
+
     # --- BENCH/BASELINE.md
     md = Path(__file__).parent / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
@@ -577,7 +660,7 @@ def main() -> None:
             f"| {n_pages} | {low['best_sec']} | {high['best_sec']} "
             f"| {estimator} | {efficiency} | {valid} "
             f"| {scaling.get('n_clean_rounds', 0)}/{scaling.get('n_rounds', 0)} "
-            f"| {headline_steal_rate} | {high['triples_per_sec']} |\n"
+            f"| {headline_steal_rate} | {value} |\n"
         )
     md.write_text(
         "# BENCH — kgspark measured numbers\n\n"
@@ -635,7 +718,10 @@ def main() -> None:
             f"{r['best_sec']} | {r['triples_per_sec']} | {r['pages_per_sec']} |\n"
             for r in (low, high)
         )
-        + f"\nRounds: {scaling.get('n_rounds', 0)} total, "
+        + f"\nRounds: {scaling.get('n_rounds', 0)} total "
+        f"({scaling.get('n_hunter_rounds', 0)} merged from the in-round "
+        f"opportunistic hunter ledger BENCH/{HUNT_LOG} — same pinned child, "
+        "same gates), "
         f"{scaling.get('n_clean_rounds', 0)} clean, "
         f"{scaling.get('n_correctable_rounds', 0)} correctable. "
         f"Raw per-round efficiencies {scaling.get('efficiency_per_round', [])}; "
@@ -669,12 +755,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "kg_triples_per_sec",
-                "value": high["triples_per_sec"],
+                "value": value,
                 "unit": "triples/sec",
                 "queries": results,
                 "sf": _sf_of(SF_DIR),
                 "headline_steal_rate": headline_steal_rate,
-                "pages_per_sec": high["pages_per_sec"],
+                "pages_per_sec": pages_per_sec,
+                "pipeline_fallback": pipeline_fallback,
                 "stage_sec": stage_splits,
                 "scaling": scaling,
             }

@@ -26,24 +26,43 @@ def group_quantiles(
     qs: tuple[float, ...] = (0.5, 0.95),
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(grp, n, q50, q95, ...): exact discrete quantiles per group —
-    value at rank ceil(q*n) ordered by (value, id). ONE shuffle on the
-    group key; the per-group sort is the cost, same as any exact
-    quantile. Column names are percent-based: q50 for 0.5, q95 for 0.95,
-    q99_9 for 0.999."""
-    w = Window.partitionBy(grp_col).orderBy(F.col(val_col).asc(), F.col(id_col).asc())
-    ranked = df.select(grp_col, val_col, id_col).withColumn(
-        "_rn", F.row_number().over(w)
-    ).withColumn("_n", F.count("*").over(Window.partitionBy(grp_col)))
+    """(grp, n, q50, q95, ...): exact discrete quantiles per group — the
+    value at rank ceil(q*n) under (value, id) order. The value AT a rank
+    is id-invariant (rows tied on value share it), so the selection
+    reduces to a VALUE HISTOGRAM: smallest v whose cumulative count
+    reaches the rank. Column names are percent-based: q50 for 0.5, q95
+    for 0.95, q99_9 for 0.999. `id_col` is kept for API stability; the
+    histogram form never needs the tiebreak.
+
+    Scale shape (round-5 verdict #4): the previous row_number window
+    sorted every ROW of a group on one reducer — a single-task 30 TB sort
+    when one domain is 30% of a 100 TB corpus. Now: (1) map-side-combined
+    groupBy (grp, value) compresses the hot group to its distinct values
+    BEFORE the wire; (2) one window per grp orders only that distinct-
+    value table (doc-length/score domains are bounded, orders of
+    magnitude below row count); (3) a groups-sized final agg picks the
+    rank-crossing value per q. Still exact for any distribution — only
+    the sort input shrank. tests/test_stats.py pins the plan: the window
+    consumes the aggregate, never raw rows."""
+    counts = df.groupBy(grp_col, val_col).agg(F.count("*").alias("_c"))
+    wg = Window.partitionBy(grp_col)
+    w_cum = wg.orderBy(F.col(val_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(wg)
+    )
     aggs = [F.max("_n").cast("long").alias("n")]
     for q in qs:
         name = "q" + ("%g" % (q * 100)).replace(".", "_")
         aggs.append(
-            F.max(
-                F.when(F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")), F.col(val_col))
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")), F.col(val_col)
+                )
             ).alias(name)
         )
-    return ranked.groupBy(grp_col).agg(*aggs)
+    return cum.groupBy(grp_col).agg(*aggs)
 
 
 def outlier_zscore(
