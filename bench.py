@@ -536,8 +536,35 @@ def _run_stage_splits(n_pages: int) -> dict:
     return {}
 
 
+def _pause_hunter() -> None:
+    """Suspend tools/scaling_hunt.py for the duration of this bench run:
+    touch its pause file, then wait (bounded) for any in-flight pinned
+    child to finish — a hunter child and a bench child pin the same vCPU
+    block, and two concurrent measurements contaminate both. The pause
+    file is removed in main()'s finally so hunting resumes after."""
+    (Path(__file__).parent / "BENCH" / "hunt_pause").touch()
+    deadline = time.time() + 420
+    while time.time() < deadline:
+        probe = subprocess.run(
+            ["pgrep", "-f", "bench_scaling_child"], capture_output=True, text=True
+        )
+        if probe.returncode != 0:  # no match: nothing in flight
+            return
+        print("[bench] waiting for a hunter child to drain", file=sys.stderr)
+        time.sleep(20)
+
+
 def main() -> None:
+    import atexit
+
     from kgspark.session import get_spark, unpersist_all
+
+    _pause_hunter()
+    atexit.register(
+        lambda: (Path(__file__).parent / "BENCH" / "hunt_pause").unlink(
+            missing_ok=True
+        )
+    )
 
     results: dict[str, float] = {}
 
