@@ -112,8 +112,13 @@ def main() -> None:
             continue
         rnd += 1
         pair = {}
-        for master in ("local[4]", "local[1]"):  # cheap side first
-            if master != "local[4]" and not quiet("mid-pair"):
+        # Scarce side FIRST: local[1]'s ~6-9 min exposure is what dies in
+        # burst weather (round-5 ledger: local[4] landed 5 clean completions
+        # while every local[1] aborted) — spend the rare long window on it,
+        # and pick up the cheap local[4] side in this window or the next
+        # (sides are independent observations; gates are per-side).
+        for master in ("local[1]", "local[4]"):
+            if master != "local[1]" and not quiet("mid-pair"):
                 # dev burst arrived between sides: hold the pair open (the
                 # ratio is within-round regardless of a gap between sides)
                 for _ in range(40):
