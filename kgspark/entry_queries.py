@@ -1559,6 +1559,152 @@ def graph_pagerank(spark, sf_dir):
 
 
 @q(
+    "graph_triangles",
+    f"""
+    WITH m AS (
+      SELECT DISTINCT doc_id, t.term AS term
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+      WHERE t.term IN {_GAZ_SQL}
+    ), e0 AS (
+      SELECT DISTINCT a.term AS a, b.term AS b
+      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+    ), nodes AS (
+      SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+    ), deg AS (
+      SELECT node, count(*) AS deg FROM nodes GROUP BY node
+    ), o AS (
+      SELECT CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN e0.a ELSE e0.b END AS src,
+             CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN e0.b ELSE e0.a END AS dst
+      FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b
+    ), tri AS (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      FROM o e1
+      JOIN o e2 ON e1.dst = e2.src
+      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), corners AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v AS node FROM tri
+      UNION ALL SELECT w AS node FROM tri
+    )
+    SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-entity triangle participation on the co-occurrence KG
+    (ops/graph.triangle_counts): degree-oriented wedge enumeration, each
+    triangle counted once. The oracle replays the same orientation via
+    row-value comparison ((deg, node) tuples), so the full per-node count
+    vector hash-matches, not just the total."""
+    from .ops.graph import triangle_counts
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    m = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .where(F.col("term").isin(GAZ))
+        .distinct()
+    )
+    edges = (
+        m.select("doc_id", F.col("term").alias("a"))
+        .join(m.select("doc_id", F.col("term").alias("b")), "doc_id")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+@q(
+    "corpus_decontaminate",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(list_slice(toks, i, i + 4), ' ')
+                            for i in range(1, greatest(len(toks) - 4, 1) + 1)]) AS ngrams
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+    ), ev AS (
+      SELECT DISTINCT u.ngram FROM sh, unnest(ngrams) AS u(ngram) WHERE doc_id % 37 = 0
+    ), tr AS (
+      SELECT doc_id, u.ngram FROM sh, unnest(ngrams) AS u(ngram)
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (ngram) GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, len(ngrams) AS n_ngrams FROM sh
+    )
+    SELECT h.doc_id, h.n_hits, t.n_ngrams,
+           CAST(floor(h.n_hits * 1000000.0 / t.n_ngrams) AS BIGINT) AS hit_ratio_e6
+    FROM hits h JOIN totals t USING (doc_id)
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination (ops/corpus.decontaminate):
+    screen the whole corpus against a held-out eval slice (doc_id % 37 —
+    the realistic leak scenario where benchmark pages ARE in the crawl).
+    Eval 5-grams are deduped and broadcast; the screen is one map-side
+    hash join over exploded corpus n-grams."""
+    from .ops.corpus import decontaminate
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    evalset = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, evalset, n=5)
+
+
+@q(
+    "corpus_bigram_lm",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, u.bigram, string_split(u.bigram, ' ')[1] AS w1
+      FROM (SELECT doc_id,
+                   [array_to_string(list_slice(toks, i, i + 1), ' ')
+                    for i in range(1, greatest(len(toks) - 1, 0) + 1)] AS bigrams
+            FROM t), unnest(bigrams) AS u(bigram)
+    ), uni AS (
+      SELECT u.tok AS w1, count(*) AS c_uni FROM t, unnest(toks) AS u(tok) GROUP BY u.tok
+    ), bi AS (
+      SELECT bigram, count(*) AS c_bi FROM bg GROUP BY bigram
+    )
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           CAST(sum(CAST(floor(bi.c_bi * 1000000.0 / uni.c_uni) AS BIGINT)) AS BIGINT)
+             AS lm_score_e6
+    FROM bg JOIN bi USING (bigram) JOIN uni USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def corpus_bigram_lm(spark, sf_dir):
+    """CCNet-style fluency scoring in exact integer arithmetic
+    (ops/corpus.bigram_lm_score): corpus-trained bigram conditional
+    frequencies, summed per doc as e6 fixed point — order-independent, so
+    the oracle hash-matches the full score vector."""
+    from .ops.corpus import bigram_lm_score
+
+    return bigram_lm_score(_spread(_t(spark, sf_dir, "documents")))
+
+
+@q(
+    "corpus_mixture_stats",
+    """
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(n_tokens * 1000000.0 / (SELECT sum(n_tokens) FROM per)) AS BIGINT)
+             AS weight_e6
+    FROM per
+    """,
+)
+def corpus_mixture_stats(spark, sf_dir):
+    """Data-mixing table (ops/corpus.mixture_stats): per-source token
+    mass and e6 sampling weights; the global total is computed on the
+    #sources-row aggregate, never via a corpus-wide single partition."""
+    from .ops.corpus import mixture_stats
+
+    return mixture_stats(_spread(_t(spark, sf_dir, "documents")))
+
+
+@q(
     "rollup_orders",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -2660,8 +2806,19 @@ QUERIES["kg_pipeline_triples"] = kg_pipeline_triples
 # (R1: melt_observations_part), dedup_simhash (dedup_simhash_hamming),
 # ann_lsh_bucketed (ann_lsh_banded), dedup_minhash_lsh_fast (no_oracle by
 # design — rows-only row spent a gate slot; twin-pinned vs dedup_minhash_lsh
-# in pytest).
+# in pytest). Round 6 demotes four more relational warm-ups (all green in
+# CORRECTNESS_r05, so each has a hard-signal record) to gate the four new
+# corpus/graph ops: join_semi_orders (J3 — LeftSemi plan-asserted in
+# pytest), join_anti_customers (U3 — anti-membership also driver-gated
+# inside bloom_incremental_dedup's is_new screen), q3_top_revenue_orders
+# (J4 enrichment join — same shape gated in provenance_entities_docs),
+# window_top_order_per_customer (W1/W2 argmax window — same shape gated in
+# text_tfidf_topk and sample_stratified rank windows).
 _DEMOTED = [
+    "join_semi_orders",
+    "join_anti_customers",
+    "q3_top_revenue_orders",
+    "window_top_order_per_customer",
     "window_lag_events",
     "events_hourly",
     "text_fingerprint",
@@ -2692,6 +2849,11 @@ MUST_GATE = [
     "spatial_overlap_holes",
     "entity_timeline_changes",
     "provenance_entities_docs",
+    # round-6 additions: first CORRECTNESS appearance must be gated
+    "graph_triangles",
+    "corpus_decontaminate",
+    "corpus_bigram_lm",
+    "corpus_mixture_stats",
 ]
 
 GATE_WINDOW = 50

@@ -1,0 +1,137 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, n-gram LM quality scoring, and data-mixture statistics.
+
+These are the corpus-level screens that sit between raw dedup (ops/dedup.py)
+and packing (ops/sampling.py) in an LLM data pipeline:
+
+- `decontaminate`: the GPT-3 Appendix-C / PaLM screen — flag training
+  documents sharing word n-grams with a held-out evaluation set.  The eval
+  set is small by definition (benchmarks are thousands of documents, the
+  corpus is billions), so its distinct n-gram set is BROADCAST and the
+  screen is one map-side hash join over the exploded training n-grams —
+  the historical corpus is never shuffled on a new key.
+- `bigram_lm_score`: a CCNet/KenLM-style fluency filter re-expressed in
+  exact integer arithmetic: score each document by the corpus-trained
+  bigram conditional frequencies floor(c(w1 w2)*1e6 / c(w1)).  Two count
+  aggregations (both map-side combinable) and two equi-joins against count
+  tables that are vocabulary-sized (<< token stream); no floats anywhere,
+  so any parallelism — and the DuckDB oracle — reproduces it bit-for-bit.
+- `mixture_stats`: per-source token mass and e6 mixture weights (the
+  "data mixing" table of Pile/LLaMA-style corpus reports).  One map-side
+  combined aggregation to #sources rows; the global total is then computed
+  on that tiny aggregate, never via a single-partition window over the
+  corpus.
+
+Reference analog: the reference curates one source end-to-end and has no
+corpus-screen stage; these extend the same documents table the dedup
+family runs on (SURVEY.md §2 training-data ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles, word_tokens
+from .webtext import _e6, _ngrams
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training docs that share >=1 distinct word n-gram with the
+    eval set. Returns (id, n_hits, n_ngrams, hit_ratio_e6) for
+    contaminated docs only; n_hits counts the doc's DISTINCT n-grams seen
+    in the eval set, n_ngrams its distinct n-gram total.
+
+    Scale shape: eval n-grams deduped then broadcast (benchmarks are tiny
+    vs the corpus); the train side is a map-only explode + broadcast-hash
+    semi screen, then one groupBy(id) whose partial aggregation collapses
+    each doc's hits map-side."""
+    ev = (
+        evalset.select(F.explode(word_shingles(text_col, n)).alias("ngram"))
+        .distinct()
+    )
+    # word_shingles is array_distinct per doc, so the explode is already
+    # one row per (doc, distinct n-gram) — no second distinct needed.
+    tr = train.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ngram"))
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        tr.join(F.broadcast(ev), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_hits",
+        "n_ngrams",
+        _e6(F.col("n_hits"), F.col("n_ngrams")).alias("hit_ratio_e6"),
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Integer bigram-LM fluency score: for every bigram OCCURRENCE
+    (w1 w2) in a doc, add floor(c(w1 w2) * 1e6 / c(w1)) where the counts
+    are corpus-wide occurrence counts (the train-then-score self-pass of a
+    CCNet-style perplexity filter, with integral conditional frequencies
+    instead of log-space floats so the result is order-independent and
+    engine-portable). Returns (id, n_bigrams, lm_score_e6) where
+    lm_score_e6 is the SUM of per-bigram e6 conditionals; docs with fewer
+    than 2 tokens are absent.
+
+    Scale shape: unigram/bigram counts are map-side-combined groupBys to
+    vocabulary-sized tables; scoring is two equi-joins of the exploded
+    bigram stream against those tables (AQE broadcasts them when small),
+    then one groupBy(id)."""
+    toks = word_tokens(text_col)
+    bg = docs.select(
+        F.col(id_col), F.explode(_ngrams(toks, 2)).alias("bigram")
+    ).withColumn("w1", F.split("bigram", " ")[0])
+    uni = (
+        docs.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    bi = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bi"))
+    return (
+        bg.join(bi, "bigram")
+        .join(uni, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(_e6(F.col("c_bi"), F.col("c_uni"))).alias("lm_score_e6"),
+        )
+    )
+
+
+def mixture_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source mixing table: (source, n_docs, n_tokens, weight_e6)
+    where weight_e6 = floor(n_tokens * 1e6 / total_tokens). The corpus
+    collapses map-side to one row per source; the grand total is computed
+    over THAT aggregate and broadcast back — the corpus itself never
+    passes through a single-partition stage. n_tokens is bigint; at true
+    100-TB scale (10^13 tokens) the e6 product still fits int64 (10^19 is
+    the limit), documented here because weight math is the first thing to
+    overflow in mixture tables."""
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(word_tokens(text_col))).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _e6(F.col("n_tokens"), F.col("total_tokens")).alias("weight_e6"),
+    )

@@ -1,0 +1,107 @@
+"""Corpus-curation ops: decontamination, bigram-LM scoring, mixture
+stats (ops/corpus.py) and triangle counting (ops/graph.py)."""
+
+from __future__ import annotations
+
+from kgspark.ops import corpus
+from kgspark.ops.graph import triangle_counts
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_pinned(spark):
+    evalset = _docs(spark, [(100, "a b c d e f")])  # 5-grams: abcde, bcdef
+    train = _docs(
+        spark,
+        [
+            (0, "a b c d e x"),  # shares "a b c d e" -> 1 of 2
+            (1, "z z z z z z"),  # clean -> absent
+            (2, "a b c"),  # short doc: whole-text shingle, no hit -> absent
+            (3, "a b c d e f"),  # verbatim leak -> 2 of 2
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.decontaminate(train, evalset, n=5).collect()}
+    assert set(out) == {0, 3}
+    assert out[0]["n_hits"] == 1 and out[0]["n_ngrams"] == 2
+    assert out[0]["hit_ratio_e6"] == 500000
+    assert out[3]["n_hits"] == 2 and out[3]["hit_ratio_e6"] == 1000000
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    evalset = _docs(spark, [(100, "a b c d e f")])
+    train = _docs(spark, [(0, "a b c d e x")])
+    plan = (
+        corpus.decontaminate(train, evalset)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the eval n-gram set must reach the screen as a broadcast, never a
+    # shuffle of the corpus onto the n-gram key
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_lm_pinned(spark):
+    docs = _docs(spark, [(0, "a b"), (1, "a b"), (2, "a c"), (3, "x")])
+    # unigrams: a=3 b=2 c=1 x=1; bigrams: "a b"x2, "a c"x1
+    out = {r["doc_id"]: r for r in corpus.bigram_lm_score(docs).collect()}
+    assert set(out) == {0, 1, 2}  # single-token doc has no bigrams
+    assert out[0]["n_bigrams"] == 1 and out[0]["lm_score_e6"] == 666666
+    assert out[1]["lm_score_e6"] == 666666
+    assert out[2]["lm_score_e6"] == 333333
+
+
+def test_bigram_lm_repeated_phrase_scores_higher(spark):
+    # the corpus-frequent continuation ("the end") outscores the rare one
+    docs = _docs(spark, [(i, "the end") for i in range(9)] + [(9, "the start")])
+    out = {r["doc_id"]: r["lm_score_e6"] for r in corpus.bigram_lm_score(docs).collect()}
+    assert out[0] == 900000 and out[9] == 100000
+
+
+def test_mixture_stats_pinned(spark):
+    rows = [
+        (0, "a b c", "s1"),
+        (1, "x", "s1"),
+        (2, "p q r s", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in corpus.mixture_stats(df).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_tokens"] == 4
+    assert out["s2"]["n_tokens"] == 4
+    assert out["s1"]["weight_e6"] == 500000 and out["s2"]["weight_e6"] == 500000
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_triangles_pinned_with_pendant(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}  # pendant d in no triangle
+
+
+def test_triangles_k4_counts(spark):
+    nodes = ["a", "b", "c", "d"]
+    e = _edges(
+        spark,
+        [(u, v) for i, u in enumerate(nodes) for v in nodes[i + 1 :]],
+    )
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(e).collect()}
+    # K4 has 4 triangles; every node sits in C(3,2) = 3 of them
+    assert out == {n: 3 for n in nodes}
+
+
+def test_triangles_normalizes_duplicates_and_orientation(spark):
+    e = _edges(spark, [("b", "a"), ("a", "b"), ("b", "c"), ("c", "a")])
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_star_has_none(spark):
+    # hub star: max-degree node but zero triangles — the degree-oriented
+    # enumeration must not fabricate wedge closures
+    e = _edges(spark, [("hub", f"leaf{i}") for i in range(6)])
+    assert triangle_counts(e).count() == 0
