@@ -144,6 +144,11 @@ HEADLINE = [
     # group_quantiles switched to histogram rank selection — track both
     "kg_pipeline_consensus",
     "stats_group_quantiles",
+    # round 6 new ops: decontamination screen, bigram-LM scoring,
+    # degree-oriented triangle counting
+    "corpus_decontaminate",
+    "corpus_bigram_lm",
+    "graph_triangles",
 ]
 
 

@@ -104,8 +104,26 @@ def run_child(master: str) -> dict | None:
     return None
 
 
+def _base_round() -> int:
+    """Continue hunt_round numbering from the ledger's max: a restarted
+    hunter must not reuse round indices, or bench.py's within-round pair
+    merge would stitch a fresh low side onto a stale high side from a
+    previous hunter process."""
+    if not OUT.exists():
+        return 0
+    mx = 0
+    for line in OUT.read_text().splitlines():
+        try:
+            o = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(o.get("hunt_round"), int):
+            mx = max(mx, o["hunt_round"])
+    return mx
+
+
 def main() -> None:
-    rnd = 0
+    rnd = _base_round()
     while True:
         if not quiet("pre-pair"):
             time.sleep(25)
