@@ -2687,6 +2687,76 @@ def kg_pipeline_consensus(spark, sf_dir):
 
 
 @q(
+    "kg_pipeline_relation_triples",
+    f"""
+    WITH m AS (
+      SELECT doc_id, list_sort(list(DISTINCT t.term)) AS terms
+      FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+      WHERE t.term IN {_GAZ_SQL}
+      GROUP BY doc_id
+    )
+    SELECT CASE WHEN terms[1] = 'vector' THEN 'E:vectors'
+                ELSE 'E:' || terms[1] END AS subj,
+           'governed' AS pred,
+           CASE WHEN terms[2] = 'vector' THEN 'E:vectors'
+                ELSE 'E:' || terms[2] END AS obj,
+           'doc:' || CAST(doc_id AS VARCHAR) AS src_url
+    FROM m WHERE len(terms) >= 2
+    """,
+)
+def kg_pipeline_relation_triples(spark, sf_dir):
+    """Flagship RELATION/RESOLVE-stage companion with a REAL oracle —
+    closes the last flagship stage without a hash check (mention, link,
+    components, consensus already have driver oracles): builds one
+    deterministic relation sentence per document ('<A> governed <B>.'
+    from the doc's two lexicographically-smallest gazetteer terms,
+    capitalized to satisfy the production span grammar), then runs the
+    pipeline's OWN chain — mentions.annotate_pages (fused relation-pattern
+    scan) -> explode_relations + explode_mentions -> link.link_mentions
+    (same 9-exact + 1-fuzzy alias index as kg_pipeline_link_triples, so
+    a 'Vector' argument resolves through the fuzzy arm) ->
+    relations.resolve_triples (the url+surface link joins, confidence
+    routing and id emission kg_pipeline_triples executes). The oracle
+    derives the expected (subj, pred, obj, src_url) set in closed form
+    from the same token derivation, so relation extraction AND argument
+    resolution are hash-checked end-to-end (reference analog:
+    build_neo4j_cidoc_crm.py edge emission)."""
+    from .link import link_mentions
+    from .mentions import annotate_pages, explode_mentions, explode_relations
+    from .relations import resolve_triples
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    terms = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+        )
+        .where(F.col("term").isin(GAZ))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+        .where(F.size("terms") >= 2)
+    )
+    pages = terms.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.initcap(F.col("terms")[0]),
+            F.lit(" governed "),
+            F.initcap(F.col("terms")[1]),
+            F.lit("."),
+        ).alias("text"),
+    )
+    ann = annotate_pages(pages, [g.capitalize() for g in GAZ], [])
+    rels = explode_relations(ann)
+    ments = explode_mentions(ann).where(F.col("kind") == "gazetteer")
+    alias_index = spark.createDataFrame(
+        [(f"E:{a}", a, [a], "term", None) for a in _LINK_ALIASES],
+        "entity_id string, canonical_name string, aliases array<string>, "
+        "entity_type string, admin_region string",
+    )
+    links = link_mentions(ments, alias_index)
+    return resolve_triples(rels, links)
+
+
+@q(
     "multimodal_decode_stats",
     """
     SELECT luma_src, decode_ok, n_channels,
@@ -2813,8 +2883,11 @@ QUERIES["kg_pipeline_triples"] = kg_pipeline_triples
 # inside bloom_incremental_dedup's is_new screen), q3_top_revenue_orders
 # (J4 enrichment join — same shape gated in provenance_entities_docs),
 # window_top_order_per_customer (W1/W2 argmax window — same shape gated in
-# text_tfidf_topk and sample_stratified rank windows).
+# text_tfidf_topk and sample_stratified rank windows), ann_lsh_banded (the
+# banded-SRP machinery is also gated inside dedup_embedding_cosine, and the
+# ANN family keeps brute-force + IVF rows in-window).
 _DEMOTED = [
+    "ann_lsh_banded",
     "join_semi_orders",
     "join_anti_customers",
     "q3_top_revenue_orders",
@@ -2841,6 +2914,7 @@ MUST_GATE = [
     "kg_pipeline_link_triples",
     "kg_pipeline_components",
     "kg_pipeline_consensus",
+    "kg_pipeline_relation_triples",
     "multimodal_decode_stats",
     "spatial_overlap_join",
     "spatial_borders",
