@@ -64,6 +64,21 @@ CHECKS = {
         (r"HashAggregate", "hash aggregation"),
         (r"ReadSchema: [^\n]*struct<doc_id:bigint,text:string>", "scan pruned to 2 cols"),
     ],
+    "corpus_decontaminate": [
+        # the eval n-gram set must broadcast; the corpus side is map-only
+        (r"BroadcastHashJoin", "eval n-gram set broadcast into the screen"),
+        (r"ReadSchema: [^\n]*struct<doc_id:bigint,text:string>", "scan pruned to 2 cols"),
+    ],
+    "corpus_bigram_lm": [
+        (r"HashAggregate", "map-combined count tables"),
+        (r"ReadSchema: [^\n]*struct<doc_id:bigint,text:string>", "scan pruned to 2 cols"),
+    ],
+    "graph_triangles": [
+        # wedge enumeration must stay equi-join — a cartesian/NL join on
+        # the oriented edge table is the hub blow-up this op exists to avoid
+        (r"(?s)\A(?!.*(CartesianProduct|BroadcastNestedLoopJoin))", "no cartesian wedge join"),
+        (r"HashAggregate", "per-node counts partially aggregated"),
+    ],
     "ann_ivf_topk": [
         # the centroid set and the probe table must ride broadcasts — an
         # IVF whose assignment shuffles the corpus against K rows is wrong
