@@ -50,26 +50,34 @@ def decontaminate(
 
     Scale shape: eval n-grams deduped then broadcast (benchmarks are tiny
     vs the corpus); the train side is a map-only explode + broadcast-hash
-    semi screen, then one groupBy(id) whose partial aggregation collapses
-    each doc's hits map-side."""
+    screen. The doc's distinct-n-gram total is computed map-side
+    (size(shingles)) and CARRIED THROUGH the screen as a grouping column,
+    so the only shuffle is the groupBy over the (rare) hit subset — the
+    corpus-wide n-gram stream is never shuffled, neither on the n-gram
+    key nor on doc_id, and there is no corpus-sized join-back."""
     ev = (
         evalset.select(F.explode(word_shingles(text_col, n)).alias("ngram"))
         .distinct()
     )
     # word_shingles is array_distinct per doc, so the explode is already
     # one row per (doc, distinct n-gram) — no second distinct needed.
-    tr = train.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ngram"))
-    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        tr.join(F.broadcast(ev), "ngram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return hits.join(totals, id_col).select(
+    tr = train.select(
+        F.col(id_col), word_shingles(text_col, n).alias("ngrams")
+    ).select(
         id_col,
-        "n_hits",
-        "n_ngrams",
-        _e6(F.col("n_hits"), F.col("n_ngrams")).alias("hit_ratio_e6"),
+        F.size("ngrams").cast("long").alias("n_ngrams"),
+        F.explode("ngrams").alias("ngram"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "ngram")
+        .groupBy(id_col, "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            id_col,
+            "n_hits",
+            "n_ngrams",
+            _e6(F.col("n_hits"), F.col("n_ngrams")).alias("hit_ratio_e6"),
+        )
     )
 
 
