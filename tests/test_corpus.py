@@ -105,3 +105,92 @@ def test_triangles_star_has_none(spark):
     # enumeration must not fabricate wedge closures
     e = _edges(spark, [("hub", f"leaf{i}") for i in range(6)])
     assert triangle_counts(e).count() == 0
+
+
+def test_triangles_random_graph_matches_bruteforce(spark):
+    """Seeded Erdős–Rényi parity: the degree-oriented enumeration must
+    agree with an O(n^3) Python reference on an arbitrary graph — guards
+    the orientation algebra (ties between equal-degree nodes included)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    pairs = [(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.35]
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    assert sum(expected.values()) > 0  # non-degenerate fixture
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert out == expected
+
+
+def test_decontaminate_random_corpus_matches_set_arithmetic(spark):
+    """Seeded parity vs pure-Python n-gram set arithmetic (n=3): the
+    broadcast screen must count exactly the distinct train n-grams present
+    in the eval n-gram union."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))) for _ in range(40)]
+
+    def grams(t, n=3):
+        toks = t.split(" ")
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    train = _docs(spark, list(enumerate(texts[:30])))
+    evalset = _docs(spark, [(100 + i, t) for i, t in enumerate(texts[30:])])
+    ev_union = set().union(*(grams(t) for t in texts[30:]))
+    expected = {}
+    for i, t in enumerate(texts[:30]):
+        g = grams(t)
+        hits = len(g & ev_union)
+        if hits:
+            expected[i] = (hits, len(g), hits * 1000000 // len(g))
+    assert expected  # non-degenerate fixture
+    out = {
+        r["doc_id"]: (r["n_hits"], r["n_ngrams"], r["hit_ratio_e6"])
+        for r in corpus.decontaminate(train, evalset, n=3).collect()
+    }
+    assert out == expected
+
+
+def test_bigram_lm_random_corpus_matches_counts(spark):
+    """Seeded parity vs Python bigram/unigram counting with the same
+    multiply-before-divide e6 floor."""
+    import collections
+    import random
+
+    rng = random.Random(13)
+    vocab = ["x", "y", "z", "w"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))) for _ in range(25)]
+    uni = collections.Counter(t for s in texts for t in s.split(" "))
+    bi = collections.Counter(
+        (toks[i], toks[i + 1])
+        for s in texts
+        for toks in [s.split(" ")]
+        for i in range(len(toks) - 1)
+    )
+    expected = {}
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        bgs = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        if bgs:
+            expected[i] = (
+                len(bgs),
+                sum(int(bi[g] * 1000000.0 / uni[g[0]]) for g in bgs),
+            )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score_e6"])
+        for r in corpus.bigram_lm_score(_docs(spark, list(enumerate(texts)))).collect()
+    }
+    assert out == expected
