@@ -565,11 +565,11 @@ def main() -> None:
     from kgspark.session import get_spark, unpersist_all
 
     _pause_hunter()
-    atexit.register(
-        lambda: (Path(__file__).parent / "BENCH" / "hunt_pause").unlink(
-            missing_ok=True
-        )
-    )
+    # resolve the path NOW: module globals (__file__) are already torn
+    # down when atexit lambdas run, so a late lookup NameErrors and leaves
+    # the hunter paused forever
+    pause_path = Path(__file__).parent / "BENCH" / "hunt_pause"
+    atexit.register(lambda p=pause_path: p.unlink(missing_ok=True))
 
     results: dict[str, float] = {}
 
