@@ -120,10 +120,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
     )
     lower_first = F.struct(F.col("deg_a"), F.col("a")) < F.struct(F.col("deg_b"), F.col("b"))
+    # the oriented edge table feeds all three wedge-join branches: cut the
+    # lineage once (lazy, materializes on first use) so the edge scan +
+    # degree joins run once, not three times
     o = withdeg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
