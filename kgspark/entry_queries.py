@@ -1665,7 +1665,7 @@ def corpus_decontaminate(spark, sf_dir):
       SELECT bigram, count(*) AS c_bi FROM bg GROUP BY bigram
     )
     SELECT bg.doc_id, count(*) AS n_bigrams,
-           CAST(sum(CAST(floor(bi.c_bi * 1000000.0 / uni.c_uni) AS BIGINT)) AS BIGINT)
+           CAST(sum(bi.c_bi * 1000000 // uni.c_uni) AS BIGINT)
              AS lm_score_e6
     FROM bg JOIN bi USING (bigram) JOIN uni USING (w1)
     GROUP BY bg.doc_id

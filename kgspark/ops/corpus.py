@@ -12,7 +12,10 @@ and packing (ops/sampling.py) in an LLM data pipeline:
   the historical corpus is never shuffled on a new key.
 - `bigram_lm_score`: a CCNet/KenLM-style fluency filter re-expressed in
   exact integer arithmetic: score each document by the corpus-trained
-  bigram conditional frequencies floor(c(w1 w2)*1e6 / c(w1)).  Two count
+  bigram conditional frequencies (c(w1 w2) * 1e6) div c(w1), in pure
+  int64 integral division (not floor-of-double: at 10^12-token scale
+  c*1e6 exceeds 2^53 and double rounding would diverge; int64 is exact
+  to ~9.2e12-count bigrams).  Two count
   aggregations (both map-side combinable) and two equi-joins against count
   tables that are vocabulary-sized (<< token stream); no floats anywhere,
   so any parallelism — and the DuckDB oracle — reproduces it bit-for-bit.
@@ -85,11 +88,12 @@ def bigram_lm_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Integer bigram-LM fluency score: for every bigram OCCURRENCE
-    (w1 w2) in a doc, add floor(c(w1 w2) * 1e6 / c(w1)) where the counts
-    are corpus-wide occurrence counts (the train-then-score self-pass of a
-    CCNet-style perplexity filter, with integral conditional frequencies
-    instead of log-space floats so the result is order-independent and
-    engine-portable). Returns (id, n_bigrams, lm_score_e6) where
+    (w1 w2) in a doc, add (c(w1 w2) * 1e6) div c(w1) — exact int64
+    integral division — where the counts are corpus-wide occurrence
+    counts (the train-then-score self-pass of a CCNet-style perplexity
+    filter, with integral conditional frequencies instead of log-space
+    floats so the result is order-independent and engine-portable).
+    Returns (id, n_bigrams, lm_score_e6) where
     lm_score_e6 is the SUM of per-bigram e6 conditionals; docs with fewer
     than 2 tokens are absent.
 
@@ -113,7 +117,7 @@ def bigram_lm_score(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(_e6(F.col("c_bi"), F.col("c_uni"))).alias("lm_score_e6"),
+            F.sum(F.expr("c_bi * 1000000 div c_uni")).alias("lm_score_e6"),
         )
     )
 
@@ -128,10 +132,11 @@ def mixture_stats(
     where weight_e6 = floor(n_tokens * 1e6 / total_tokens). The corpus
     collapses map-side to one row per source; the grand total is computed
     over THAT aggregate and broadcast back — the corpus itself never
-    passes through a single-partition stage. n_tokens is bigint; at true
-    100-TB scale (10^13 tokens) the e6 product still fits int64 (10^19 is
-    the limit), documented here because weight math is the first thing to
-    overflow in mixture tables."""
+    passes through a single-partition stage. n_tokens is bigint; the e6
+    weight product n_tokens * 1e6 stays exact only up to ~9.2e12 tokens
+    per source (int64 max 9.22e18) — past that, compute weights in
+    DECIMAL(38,0). Documented here because weight math is the first
+    thing to overflow in mixture tables."""
     per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(word_tokens(text_col))).alias("n_tokens"),

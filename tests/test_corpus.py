@@ -166,7 +166,7 @@ def test_decontaminate_random_corpus_matches_set_arithmetic(spark):
 
 def test_bigram_lm_random_corpus_matches_counts(spark):
     """Seeded parity vs Python bigram/unigram counting with the same
-    multiply-before-divide e6 floor."""
+    int64 integral division."""
     import collections
     import random
 
@@ -187,7 +187,7 @@ def test_bigram_lm_random_corpus_matches_counts(spark):
         if bgs:
             expected[i] = (
                 len(bgs),
-                sum(int(bi[g] * 1000000.0 / uni[g[0]]) for g in bgs),
+                sum(bi[g] * 1000000 // uni[g[0]] for g in bgs),
             )
     out = {
         r["doc_id"]: (r["n_bigrams"], r["lm_score_e6"])
