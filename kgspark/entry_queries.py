@@ -1682,6 +1682,93 @@ def corpus_bigram_lm(spark, sf_dir):
 
 
 @q(
+    "corpus_c4_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ), q AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(floor(least(len(toks) / 100.0, 1.0) * 1000000.0) AS BIGINT) AS len_e6,
+             CAST(floor((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1) * 1000000.0) AS BIGINT) AS punct_e6,
+             CAST(floor(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','was','it'], x))) / greatest(len(toks), 1) * 1000000.0) AS BIGINT) AS stop_e6
+      FROM t
+    ), qq AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(0.4 * len_e6 + 0.3 * (1000000 - punct_e6)
+                      + 0.3 * least(stop_e6 * 5, 1000000)) AS BIGINT) AS quality_e6
+      FROM q
+    ), lg AS (
+      SELECT doc_id,
+             CASE WHEN greatest(hd, he, hs, hf) = 0 THEN 'und'
+                  WHEN hd = greatest(hd, he, hs, hf) THEN 'de'
+                  WHEN he = greatest(hd, he, hs, hf) THEN 'en'
+                  WHEN hs = greatest(hd, he, hs, hf) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT doc_id,
+               len(list_filter(toks, x -> list_contains(['the','and','of','was','is'], x))) AS he,
+               len(list_filter(toks, x -> list_contains(['le','la','et','de','est'], x))) AS hf,
+               len(list_filter(toks, x -> list_contains(['der','die','und','von','ist'], x))) AS hd,
+               len(list_filter(toks, x -> list_contains(['el','la','y','de','es'], x))) AS hs
+        FROM t)
+    ), g AS (
+      SELECT doc_id, u.gram
+      FROM t, unnest(CASE WHEN len(toks) >= 2
+                          THEN [array_to_string(list_slice(toks, i, i + 1), ' ')
+                                for i in range(1, len(toks))]
+                          ELSE [] END) AS u(gram)
+    ), gc AS (
+      SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+    ), agg AS (
+      SELECT doc_id, sum(c) AS total, count(*) AS dis FROM gc GROUP BY doc_id
+    ), tok AS (
+      SELECT doc_id, u.ord, toks[u.ord] AS tokv
+      FROM t, unnest([i for i in range(1, len(toks) + 1)]) AS u(ord)
+    ), runs AS (
+      SELECT doc_id, max(run) AS max_run FROM (
+        SELECT doc_id, count(*) AS run FROM (
+          SELECT doc_id, tokv,
+                 ord - row_number() OVER (PARTITION BY doc_id, tokv ORDER BY ord) AS grp
+          FROM tok
+        ) GROUP BY doc_id, tokv, grp
+      ) GROUP BY doc_id
+    ), sig AS (
+      SELECT qq.doc_id, qq.n_tokens, lg.pred_lang,
+             CAST(floor(coalesce((a.total - a.dis) * 1000000.0 / a.total, 0)) AS BIGINT)
+               AS dup_2gram_frac_e6,
+             qq.quality_e6, r.max_run
+      FROM qq
+      JOIN lg ON lg.doc_id = qq.doc_id
+      LEFT JOIN agg a ON a.doc_id = qq.doc_id
+      JOIN runs r ON r.doc_id = qq.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pred_lang,
+           dup_2gram_frac_e6, quality_e6,
+           (reason = 'kept') AS kept, reason AS drop_reason
+    FROM (
+      SELECT *,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN pred_lang <> 'en' THEN 'lang'
+                  WHEN dup_2gram_frac_e6 > 100000 THEN 'repetitive'
+                  WHEN max_run > 5 THEN 'token_run'
+                  WHEN quality_e6 < 600000 THEN 'low_quality'
+                  ELSE 'kept' END AS reason
+      FROM sig)
+    """,
+)
+def corpus_c4_filter(spark, sf_dir):
+    """C4/Gopher curation composite (ops/corpus.c4_filter): all keep-drop
+    signals in ONE map-only pass, with a deterministic first-failing-gate
+    drop_reason. Signal formulas identical to the individually-oracled
+    text_quality_score / text_langid / text_repetition_stats (pinned by
+    tests/test_corpus.py parity); the oracle composes those proven SQL
+    fragments and replays the same gate order."""
+    from .ops.corpus import c4_filter
+
+    return c4_filter(_spread(_t(spark, sf_dir, "documents")))
+
+
+@q(
     "corpus_mixture_stats",
     """
     WITH per AS (
@@ -2885,9 +2972,12 @@ QUERIES["kg_pipeline_triples"] = kg_pipeline_triples
 # window_top_order_per_customer (W1/W2 argmax window — same shape gated in
 # text_tfidf_topk and sample_stratified rank windows), ann_lsh_banded (the
 # banded-SRP machinery is also gated inside dedup_embedding_cosine, and the
-# ANN family keeps brute-force + IVF rows in-window).
+# ANN family keeps brute-force + IVF rows in-window), text_langid (its
+# lexicon-hits argmax is re-exercised verbatim inside corpus_c4_filter's
+# lang gate; r5+r6 driver greens + the local sweep record).
 _DEMOTED = [
     "ann_lsh_banded",
+    "text_langid",
     "join_semi_orders",
     "join_anti_customers",
     "q3_top_revenue_orders",
@@ -2928,6 +3018,7 @@ MUST_GATE = [
     "corpus_decontaminate",
     "corpus_bigram_lm",
     "corpus_mixture_stats",
+    "corpus_c4_filter",
 ]
 
 GATE_WINDOW = 50

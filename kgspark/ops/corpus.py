@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles, word_tokens
-from .webtext import _e6, _ngrams
+from .webtext import _e6, _max_run, _ngrams
 
 
 def decontaminate(
@@ -119,6 +119,84 @@ def bigram_lm_score(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(F.expr("c_bi * 1000000 div c_uni")).alias("lm_score_e6"),
         )
+    )
+
+
+def c4_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_quality_e6: int = 600000,
+    max_dup_2gram_e6: int = 100000,
+    max_token_run: int = 5,
+    lang: str = "en",
+) -> DataFrame:
+    """C4/Gopher-style keep-drop gate composing the curation signals in
+    ONE map-only pass (no joins between signal frames — every signal is a
+    column expression over the same scan, the shape the separate ops
+    document individually). Gates, applied in a fixed order that defines
+    `drop_reason` (first failing gate wins): length >= min_tokens ->
+    language == lang -> dup-2-gram fraction <= max_dup_2gram_e6 ->
+    same-token run <= max_token_run -> quality_e6 >= min_quality_e6.
+    Returns (id, n_tokens, pred_lang, dup_2gram_frac_e6, quality_e6,
+    kept, drop_reason).
+
+    Signal formulas are IDENTICAL to textstats.quality_score /
+    textstats.langid_heuristic / webtext.repetition_stats (pinned by a
+    parity test), so a doc's composite verdict is exactly the conjunction
+    of the individually-oracled signals."""
+    from .textstats import STOPWORDS_EN, _LANG_LEXICON
+
+    toks = word_tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    # quality_score formulas (divide-first e6, matching that op's oracle)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    punct_e6 = F.floor(n_punct / F.greatest(n_chars, F.lit(1)) * 1000000.0).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_e6 = F.floor(n_stop / F.greatest(n_tokens, F.lit(1)) * 1000000.0).cast("long")
+    len_e6 = F.floor(F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 1000000.0).cast("long")
+    quality_e6 = F.floor(
+        0.4 * len_e6 + 0.3 * (1000000 - punct_e6) + 0.3 * F.least(stop_e6 * 5, F.lit(1000000))
+    ).cast("long")
+    # repetition_stats formulas (multiply-first e6, matching that oracle)
+    grams = F.array_sort(_ngrams(toks, 2))
+    total = F.greatest(F.size(grams), F.lit(1))
+    dup2_e6 = _e6(F.size(grams) - F.size(F.array_distinct(grams)), total)
+    run = _max_run(toks)
+    # langid_heuristic argmax with the same alphabetical tie-break
+    langs = sorted(_LANG_LEXICON)
+
+    def _hits(words):
+        # closure factory, NOT a default-arg lambda: a 2-param lambda is
+        # read by Spark as (element, index) and the default is shadowed
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    hits = {lg: _hits(_LANG_LEXICON[lg]) for lg in langs}
+    best = F.greatest(*[hits[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when((hits[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
+
+    reason = (
+        F.when(n_tokens < min_tokens, F.lit("too_short"))
+        .when(pred != lang, F.lit("lang"))
+        .when(dup2_e6 > max_dup_2gram_e6, F.lit("repetitive"))
+        .when(run > max_token_run, F.lit("token_run"))
+        .when(quality_e6 < min_quality_e6, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        pred.alias("pred_lang"),
+        dup2_e6.alias("dup_2gram_frac_e6"),
+        quality_e6.alias("quality_e6"),
+        (reason == "kept").alias("kept"),
+        reason.alias("drop_reason"),
     )
 
 

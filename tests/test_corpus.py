@@ -73,6 +73,53 @@ def test_mixture_stats_pinned(spark):
     assert out["s1"]["weight_e6"] == 500000 and out["s2"]["weight_e6"] == 500000
 
 
+def test_c4_filter_signals_match_individual_ops(spark):
+    """Drift guard: the composite's single-pass signal columns must equal
+    the individually-oracled ops' outputs on the same docs."""
+    from kgspark.ops import textstats, webtext
+
+    rows = [
+        (0, "the cat was on the mat and it was good " * 3),
+        (1, "x y z"),
+        (2, "le la et de est le la et de est"),
+        (3, "spam spam spam spam spam spam spam"),
+        (4, ""),
+    ]
+    docs = _docs(spark, rows)
+    comp = {r["doc_id"]: r for r in corpus.c4_filter(docs).collect()}
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    lg = {r["doc_id"]: r for r in textstats.langid_heuristic(docs).collect()}
+    rep = {r["doc_id"]: r for r in webtext.repetition_stats(docs).collect()}
+    for i, _ in rows:
+        assert comp[i]["quality_e6"] == q[i]["quality_e6"], i
+        assert comp[i]["pred_lang"] == lg[i]["pred_lang"], i
+        assert comp[i]["dup_2gram_frac_e6"] == rep[i]["dup_2gram_frac_e6"], i
+
+
+def test_c4_filter_gate_order_and_reasons(spark):
+    # doc 3: repetitive AND short -> too_short wins (first failing gate)
+    rows = [
+        (0, "the cat was on the mat and it was good and the dog was in the house it is fine"),
+        (1, "x y z"),
+        (2, "le la et de est " * 5),
+        (3, "spam spam spam spam"),
+    ]
+    out = {r["doc_id"]: r for r in corpus.c4_filter(_docs(spark, rows)).collect()}
+    assert out[0]["kept"] and out[0]["drop_reason"] == "kept"
+    assert out[1]["drop_reason"] == "too_short"
+    assert out[2]["drop_reason"] == "lang"  # 25 tokens, French lexicon
+    assert out[3]["drop_reason"] == "too_short"  # short beats repetitive
+
+
+def test_c4_filter_nondegenerate_on_testdata(spark):
+    # the sf corpus must exercise keep AND multiple drop branches
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    reasons = {
+        r["drop_reason"] for r in corpus.c4_filter(docs).select("drop_reason").distinct().collect()
+    }
+    assert "kept" in reasons and len(reasons) >= 3, reasons
+
+
 def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "a string, b string")
 
