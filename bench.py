@@ -145,10 +145,11 @@ HEADLINE = [
     "kg_pipeline_consensus",
     "stats_group_quantiles",
     # round 6 new ops: decontamination screen, bigram-LM scoring,
-    # degree-oriented triangle counting
+    # degree-oriented triangle counting, single-pass curation composite
     "corpus_decontaminate",
     "corpus_bigram_lm",
     "graph_triangles",
+    "corpus_c4_filter",
 ]
 
 
