@@ -103,17 +103,20 @@ _BULK_WORDS = (
 
 
 def _bulk_paragraphs(rng: random.Random, n_words: int) -> list[str]:
-    """Deterministic lowercase filler, ~90 words per paragraph."""
-    paras = []
-    words = []
-    for _ in range(n_words):
-        words.append(rng.choice(_BULK_WORDS))
-        if len(words) >= 90:
-            paras.append(" ".join(words) + ".")
-            words = []
-    if words:
-        paras.append(" ".join(words) + ".")
-    return paras
+    """Deterministic lowercase filler, ~90 words per paragraph.
+
+    Draw-identical fast form of ``rng.choice(_BULK_WORDS)`` per word:
+    ``Random.choice(seq)`` is exactly ``seq[self._randbelow(len(seq))]``,
+    so indexing via a bound ``_randbelow`` consumes the same underlying
+    random stream and yields byte-identical paragraphs (pinned by test)
+    while skipping a layer of method dispatch in this per-page hot loop."""
+    rb = rng._randbelow
+    bw = _BULK_WORDS
+    n = len(bw)
+    flat = [bw[rb(n)] for _ in range(n_words)]
+    return [
+        " ".join(flat[i : i + 90]) + "." for i in range(0, n_words, 90)
+    ]
 
 # Relation sentence templates. The relation extractor (relations.py) owns the
 # matching patterns; these templates are the generative side of that contract.

@@ -80,6 +80,66 @@ ANNOTATION_SCHEMA = (
 # scan loses to the Aho-Corasick automaton's O(1) transition
 AC_THRESHOLD = 2048
 
+# --- active-line-run narrowing (r7 optimization, guide §1.2 step 2) --------
+#
+# Every pattern the scanner runs can only START at an ASCII capital or a
+# digit: SPAN_RE's first token is [A-Z]. / [A-Z]... / \d+, the relation
+# pattern begins with SPAN_RE, and (guarded below) every gazetteer alias and
+# region starts with [A-Z]|\d. Real crawl pages are dominated by lowercase
+# body text, so instead of letting four regex engines attempt a match at
+# every one of ~13k positions per page, ONE charset pass finds the lines
+# that contain a match-capable character and the four patterns scan only
+# those lines (contiguous active lines are kept as one run so matches that
+# legitimately cross a newline between two active lines survive).
+#
+# Exactness argument (pinned by tests/test_mentions_link.py):
+#  - no match starts in an inactive line (no [A-Z]|\d anywhere in it);
+#  - no match escapes a run: a gaz/region literal would need a '\n' inside
+#    it (excluded by the _fast_ok guard); a relation match joins its parts
+#    with literal spaces, which never match '\n'; a capitalized span crossing
+#    the run's trailing newline needs `\s(?:of\s)?TOKEN` and the next line
+#    has no TOKEN start char — the sole pathological case is a line whose
+#    entire content is "of" ('\n' matched by \s, "of", '\n' matched by \s,
+#    TOKEN on the line after), which _has_of_line detects and routes to the
+#    full-text scan;
+#  - \b context at run edges is preserved: runs cover whole lines, so the
+#    character before/after a run is '\n' (a non-word char) exactly like the
+#    string boundary the sliced scan sees.
+_ACTIVE_PROBE = re.compile(r"[A-Z]|\d")
+
+
+def _has_of_line(text: str) -> bool:
+    return (
+        "\nof\n" in text
+        or text.startswith("of\n")
+        or text.endswith("\nof")
+        or text == "of"
+    )
+
+
+def _active_runs(text: str) -> list[tuple[int, int]]:
+    """(start, end) of maximal runs of consecutive lines containing at
+    least one [A-Z]|\\d character; one charset pass over the text."""
+    runs: list[list[int]] = []
+    n = len(text)
+    search = _ACTIVE_PROBE.search
+    pos = 0
+    while True:
+        m = search(text, pos)
+        if m is None:
+            break
+        p = m.start()
+        s = text.rfind("\n", 0, p) + 1
+        e = text.find("\n", p)
+        if e < 0:
+            e = n
+        if runs and s - 1 <= runs[-1][1]:
+            runs[-1][1] = e
+        else:
+            runs.append([s, e])
+        pos = e + 1
+    return [(s, e) for s, e in runs]
+
 
 def _build_scanner(gazetteer: list[str], regions: list[str], use_ac: bool | None = None):
     """Compile the scan machinery once per executor process."""
@@ -115,10 +175,9 @@ def _build_scanner(gazetteer: list[str], regions: list[str], use_ac: bool | None
         else None
     )
 
-    def region_scan(text: str) -> list[str]:
+    def region_scan(text: str, found: set[str]) -> None:
         if region_probe is None:
-            return []
-        found: set[str] = set()
+            return
         for m in region_probe.finditer(text):
             pos = m.start()
             for r in region_list:
@@ -129,35 +188,55 @@ def _build_scanner(gazetteer: list[str], regions: list[str], use_ac: bool | None
                         found.add(r)
             if len(found) == len(region_list):
                 break
-        return sorted(found)
+
+    # active-line-run narrowing applies only when every vocabulary literal
+    # starts with a match-capable char and contains no newline (see the
+    # exactness argument at _ACTIVE_PROBE); otherwise scan full texts.
+    _fast_ok = all(
+        w and _ACTIVE_PROBE.match(w) and "\n" not in w
+        for w in (*gazetteer, *regions)
+    )
 
     def scan_text(text: str):
         if not text:
             return [], [], []
-        gaz_hits = gaz_scan(text)
+        if _fast_ok and not _has_of_line(text):
+            subs = [text[s:e] for s, e in _active_runs(text)]
+        else:
+            subs = [text]
+        gaz_hits: set[str] = set()
+        for sub in subs:
+            gaz_hits |= gaz_scan(sub)
         mentions = [{"surface": s, "kind": "gazetteer"} for s in sorted(gaz_hits)]
         relations = []
         rel_args = set()
-        for m in _REL_COMBINED.finditer(text):
-            s, o = m.group(1), m.group(3)
-            relations.append(
-                {
-                    "subj_surface": s,
-                    "pred": _REL_PHRASE_TO_PRED[m.group(2)],
-                    "obj_surface": o,
-                }
-            )
-            rel_args.update((s, o))
+        for sub in subs:
+            for m in _REL_COMBINED.finditer(sub):
+                s, o = m.group(1), m.group(3)
+                relations.append(
+                    {
+                        "subj_surface": s,
+                        "pred": _REL_PHRASE_TO_PRED[m.group(2)],
+                        "obj_surface": o,
+                    }
+                )
+                rel_args.update((s, o))
         # capitalized spans not already known: candidate mentions for fuzzy
         # linking (OCR-corrupted forms land here)
-        for m in _SPAN_COMPILED.finditer(text):
-            s = m.group(0)
-            if s not in gaz_hits and s not in _STOP_SPANS and s not in rel_args:
-                mentions.append({"surface": s, "kind": "span"})
+        for sub in subs:
+            for m in _SPAN_COMPILED.finditer(sub):
+                s = m.group(0)
+                if s not in gaz_hits and s not in _STOP_SPANS and s not in rel_args:
+                    mentions.append({"surface": s, "kind": "span"})
         mentions.extend(
             {"surface": s, "kind": "relation_arg"} for s in sorted(rel_args - gaz_hits)
         )
-        return mentions, relations, region_scan(text)
+        found: set[str] = set()
+        for sub in subs:
+            region_scan(sub, found)
+            if region_probe is not None and len(found) == len(region_list):
+                break
+        return mentions, relations, sorted(found)
 
     return scan_text
 

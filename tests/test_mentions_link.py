@@ -163,3 +163,62 @@ def test_overlapping_regions_both_recorded():
     # region at end-of-text keeps its end boundary
     _, _, ctx3 = scan("They settled in York")
     assert ctx3 == ["York"]
+
+
+def test_active_run_scan_matches_full_text_scan():
+    """r7 active-line-run narrowing must produce byte-identical scanner
+    output (mentions incl. order, relations incl. order, ctx regions) to a
+    full-text scan, on fixture pages and adversarial line layouts."""
+    import random
+
+    from kgspark import fixtures, mentions as M
+
+    gaz = sorted({a for r in fixtures.ALIAS_INDEX_ROWS for a in r[2]})
+    regions = sorted({r[6] for r in fixtures.ALIAS_INDEX_ROWS if r[6]})
+    scan = M._build_scanner(gaz, regions)
+
+    def scan_reference(text):
+        """full-text scan: same scanner with the narrowing disabled"""
+        old = M._has_of_line
+        try:
+            M._has_of_line = lambda _t: True  # force the subs=[text] branch
+            return scan(text)
+        finally:
+            M._has_of_line = old
+
+    cases = [
+        "",
+        "plain lowercase filler only words here",
+        "Sir John A. Macdonald governed Canada.\nlowercase filler para.",
+        # span adjacency across an ACTIVE line boundary must survive
+        "Treaty\nCanada after",
+        # span must NOT be glued across an inactive filler line
+        "Treaty 7\nall lowercase filler sentence\nOntario was growing.",
+        # the pathological exactly-"of" line (falls back to full scan)
+        "Treaty\nof\nParis ended it.",
+        "of\nCanada",
+        "Canada\nof",
+        # digits start spans; footer-like lines
+        "© 1900 Archive Society",
+        "lower case\n1900 Events unfolded.\nmore lower case",
+        # relation sentence split over skeleton+filler layout
+        "Notes on Ontario history\nHome | About | Archive\n"
+        "Louis Riel was born in Red River Colony. filler words go here.\n"
+        "pure lowercase bulk paragraph one.\npure lowercase bulk two.\n"
+        "© 1900 Archive Society",
+    ]
+    for i in range(60):
+        r = fixtures.page_record(i, bulk_words=200)
+        cases.append(r["text"])
+    rng = random.Random(11)
+    pieces = [
+        "Canada", "Treaty 7", "lower filler", "of", "Ontario", "x y z",
+        "Sir John", "was born in", "governed", "1900", "A.", "",
+    ]
+    for _ in range(200):
+        cases.append(
+            "\n".join(rng.choice(pieces) for _ in range(rng.randint(1, 8)))
+        )
+
+    for text in cases:
+        assert scan(text) == scan_reference(text), repr(text[:120])
