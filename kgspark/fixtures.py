@@ -110,10 +110,19 @@ def _bulk_paragraphs(rng: random.Random, n_words: int) -> list[str]:
     so indexing via a bound ``_randbelow`` consumes the same underlying
     random stream and yields byte-identical paragraphs (pinned by test)
     while skipping a layer of method dispatch in this per-page hot loop."""
-    rb = rng._randbelow
+    # _randbelow == _randbelow_with_getrandbits for Random: draw k bits,
+    # reject >= n (CPython random.py); inlined to skip per-word dispatch
+    grb = rng.getrandbits
     bw = _BULK_WORDS
     n = len(bw)
-    flat = [bw[rb(n)] for _ in range(n_words)]
+    k = n.bit_length()
+    flat = []
+    append = flat.append
+    for _ in range(n_words):
+        r = grb(k)
+        while r >= n:
+            r = grb(k)
+        append(bw[r])
     return [
         " ".join(flat[i : i + 90]) + "." for i in range(0, n_words, 90)
     ]
@@ -239,8 +248,10 @@ def gen_pages(
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             recs = [page_record(int(i), seed, bulk_words) for i in b["id"]]
+            # column-wise construction: pandas assembles 5 typed arrays
+            # instead of re-keying one dict per row
             yield pd.DataFrame(
-                [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in recs]
+                {k: [r[k] for r in recs] for k in ("url", "warc_ts", "html", "text", "lang")}
             )
 
     return (

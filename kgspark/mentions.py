@@ -241,21 +241,37 @@ def _build_scanner(gazetteer: list[str], regions: list[str], use_ac: bool | None
     return scan_text
 
 
-def annotate_pages(pages: DataFrame, gazetteer: list[str], regions: list[str]) -> DataFrame:
-    """pages(url, text, ...) -> (url, mentions, relations, ctx_regions)."""
+def annotate_pages(
+    pages: DataFrame,
+    gazetteer: list[str],
+    regions: list[str],
+    from_html: bool = False,
+) -> DataFrame:
+    """pages(url, text, ...) -> (url, mentions, relations, ctx_regions).
+
+    ``from_html=True`` fuses text extraction into this same pass: the page
+    html is decoded with the frozen extractor (extract.extract_text_bytes —
+    identical bytes to the ``extracted`` stage) and scanned without the text
+    ever crossing the JVM<->Python boundary in between. Used by the
+    pipeline when no checkpoint boundary separates extract from annotate
+    (guide §4.1: one opaque pass instead of two chained Python evals)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if from_html:
+            from .extract import extract_text_bytes
         scan = _build_scanner(gazetteer, regions)
         for b in batches:
             out = {"url": b["url"], "mentions": [], "relations": [], "ctx_regions": []}
-            for t in b["text"]:
+            texts = map(extract_text_bytes, b["html"]) if from_html else b["text"]
+            for t in texts:
                 m, r, c = scan(t)
                 out["mentions"].append(m)
                 out["relations"].append(r)
                 out["ctx_regions"].append(c)
             yield pd.DataFrame(out)
 
-    return pages.select("url", "text").mapInPandas(run, ANNOTATION_SCHEMA)
+    in_cols = ("url", "html") if from_html else ("url", "text")
+    return pages.select(*in_cols).mapInPandas(run, ANNOTATION_SCHEMA)
 
 
 def explode_mentions(annotated: DataFrame) -> DataFrame:

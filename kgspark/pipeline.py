@@ -63,7 +63,17 @@ def run_pipeline(
         "extracted",
         lambda: (with_extracted_text(pages.drop("text")) if extract_html else pages),
     )
-    annotated = ck("annotated", lambda: annotate_pages(extracted, gaz, regions))
+    if reg is None and extract_html:
+        # no checkpoint boundary between extract and annotate: fuse the
+        # frozen extractor into the annotation pass so the 13KB-per-page
+        # text never crosses the JVM<->Python boundary twice (guide §4.1).
+        # Byte-identical output: annotate_pages(from_html=True) applies the
+        # same extract_text_bytes the `extracted` stage uses.
+        annotated = ck(
+            "annotated", lambda: annotate_pages(pages, gaz, regions, from_html=True)
+        )
+    else:
+        annotated = ck("annotated", lambda: annotate_pages(extracted, gaz, regions))
     mentions = ck("mentions", lambda: explode_mentions(annotated))
     relations = ck("relations", lambda: explode_relations(annotated))
     links = ck("links", lambda: linkmod.link_mentions(mentions, alias_index))

@@ -222,3 +222,21 @@ def test_active_run_scan_matches_full_text_scan():
 
     for text in cases:
         assert scan(text) == scan_reference(text), repr(text[:120])
+
+
+def test_annotate_from_html_fused_equals_two_stage(spark):
+    """annotate_pages(from_html=True) must equal extract-then-annotate."""
+    from kgspark import fixtures
+    from kgspark.extract import with_extracted_text
+    from kgspark.mentions import annotate_pages
+
+    gaz = sorted({a for r in fixtures.ALIAS_INDEX_ROWS for a in r[2]})
+    regions = sorted({r[6] for r in fixtures.ALIAS_INDEX_ROWS if r[6]})
+    pages = fixtures.gen_pages(spark, 120, bulk_words=300)
+    two_stage = annotate_pages(
+        with_extracted_text(pages.drop("text")), gaz, regions
+    )
+    fused = annotate_pages(pages, gaz, regions, from_html=True)
+    a = sorted(two_stage.collect(), key=lambda r: r["url"])
+    b = sorted(fused.collect(), key=lambda r: r["url"])
+    assert a == b

@@ -50,3 +50,29 @@ def test_partial_resume(tmp_path, spark):
     reg.invalidate("edges")
     second = run_pipeline(spark, pages, aliases, checkpoint_dir=ckdir)
     assert second["triples"].count() == n1
+
+
+def test_bulk_paragraphs_draw_identical_to_choice_loop():
+    """r7 fast filler generator must consume the SAME random stream as the
+    original rng.choice loop and emit identical paragraphs (the bench
+    corpus — and therefore golden triples per page — must not shift)."""
+    import random
+
+    from kgspark.fixtures import _BULK_WORDS, _bulk_paragraphs
+
+    def reference(rng, n_words):
+        paras, words = [], []
+        for _ in range(n_words):
+            words.append(rng.choice(_BULK_WORDS))
+            if len(words) >= 90:
+                paras.append(" ".join(words) + ".")
+                words = []
+        if words:
+            paras.append(" ".join(words) + ".")
+        return paras
+
+    for n in (0, 1, 89, 90, 91, 180, 2000):
+        for seed in ("42:0:bulk", "42:7:bulk", "x"):
+            assert _bulk_paragraphs(random.Random(seed), n) == reference(
+                random.Random(seed), n
+            ), (n, seed)
