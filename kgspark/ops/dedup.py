@@ -37,12 +37,31 @@ def word_tokens(col: str):
 
 
 def word_shingles(col: str, n: int = 5):
-    """Distinct word n-gram shingles as strings (space-joined)."""
+    """Distinct word n-gram shingles as strings (space-joined).
+
+    NOTE (r7): prefer the two-step ``word_tokens`` projection +
+    ``word_shingles_from`` at call sites — inlined like this, Catalyst
+    re-evaluates the split() subtree for every transform element
+    (measured ~2x on the shingle build over the bench corpus)."""
     toks = word_tokens(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def word_shingles_from(tokens_col, n: int = 5):
+    """word_shingles, but over a pre-split token array COLUMN: the same
+    expression tree with the split factored into its own projection, so it
+    is evaluated once per row (CollapseProject keeps the boundary because
+    the token column is referenced more than once). Output identical to
+    word_shingles by construction (shared lambda shape; pinned by test)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
         )
     )
 
@@ -68,13 +87,21 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def minhash_signature(docs: DataFrame, id_col: str, text_col: str,
                       n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """(id, mh0..mhK-1): engine-portable minhash.
+    """(id, mh0..mhK-1): engine-portable minhash, mh as BIGINT.
 
     Hash families are 8-hex-char substrings of md5(shingle) (families 0-3)
     and md5(shingle || '#') (families 4-7): two md5 invocations per shingle
-    instead of eight, identical in DuckDB (`substring(md5(s), k*8+1, 8)`),
-    and lexicographic-min over fixed-width hex equals numeric min. Capped
-    at 8 families; widen with more salts if a caller ever asks."""
+    instead of eight, identical in DuckDB (`substring(md5(s), k*8+1, 8)`).
+    Capped at 8 families; widen with more salts if a caller ever asks.
+
+    The 8-hex-char slice is parsed to a uint32-valued BIGINT before the
+    min-aggregation (r7, guide §2.3 narrower types): parsing is bijective
+    on fixed-width hex and preserves order (lexicographic min over
+    lowercase fixed-width hex == numeric min), so signatures are the same
+    minhashes the hex form carried — but min(BIGINT) aggregates in a
+    HashAggregate with partial map-side combine, where min(STRING) forced
+    a SortAggregate with a full Sort of the exploded shingle stream on
+    both sides of the shuffle (measured in the r6 plan)."""
     if n_hashes > 8:
         raise ValueError("portable signature supports n_hashes <= 8")
     # Null AND blank/whitespace-only docs are dropped here, NOT at the
@@ -86,8 +113,10 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str,
     # Filtering the SIGNATURE frame instead is 9x slower: Catalyst pushes
     # a predicate on mh0 through the projection chain and re-evaluates the
     # shingle/hash expressions for the filter (measured on sf0.1).
-    sh = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    sh = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), word_tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), word_shingles_from(F.col("_toks"), shingle_n).alias("sh"))
     )
     # explode -> hash once per shingle row -> 8 map-side-combined mins.
     # An array-transform formulation keeps everything shuffle-free but
@@ -102,11 +131,18 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str,
         F.md5(F.concat(F.col("s"), F.lit("#"))).alias("h2"),
     )
 
-    def mh(k: int):
+    def slot(k: int):
         field, off = ("h1", k) if k < 4 else ("h2", k - 4)
-        return F.min(F.substring(F.col(field), off * 8 + 1, 8)).alias(f"mh{k}")
+        return (
+            F.conv(F.substring(F.col(field), off * 8 + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"v{k}")
+        )
 
-    return hashed.groupBy(id_col).agg(*[mh(k) for k in range(n_hashes)])
+    numeric = hashed.select(F.col(id_col), *[slot(k) for k in range(n_hashes)])
+    return numeric.groupBy(id_col).agg(
+        *[F.min(f"v{k}").alias(f"mh{k}") for k in range(n_hashes)]
+    )
 
 
 def minhash_signature_fast(docs: DataFrame, id_col: str, text_col: str,
@@ -199,7 +235,19 @@ def _banded_pairs_from_signature(sig: DataFrame, id_col: str, n_hashes: int,
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n_hashes: int = 8, n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """Candidate near-dup pairs (a < b) via banded MinHash-LSH (portable
-    md5 signature — matches the DuckDB oracle bit-for-bit)."""
+    md5 signature — same pairs as the DuckDB oracle's md5 band keys).
+
+    r7 restructure (guide §2.4/§3): the previous band-key SELF-JOIN made
+    Catalyst compute the whole shingle->md5->signature subtree TWICE (once
+    per join side — both visible in the r6 plan); grouping doc ids per
+    bucket computes the signature ONCE and generates pairs inside each
+    bucket. Bucket membership is keyed on the R minhash values themselves
+    (a struct) rather than md5(mh0||'|'||mh1): the '|' join makes the
+    concat injective, so two docs share a band key iff they share the R
+    minhash values — the identical pair set without hashing. Bucket sizes
+    are bounded (band keys combine R minhashes), so collect_list stays
+    small; the where(size > 1) drops the singleton buckets (the vast
+    majority) before any pair is generated."""
     sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_n)
     r = n_hashes // n_bands
     # null-text docs already dropped inside minhash_signature (see there)
@@ -208,16 +256,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         F.posexplode(
             F.array(
                 *[
-                    F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]))
+                    F.struct(
+                        *[F.col(f"mh{b * r + i}").alias(f"k{i}") for i in range(r)]
+                    )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band", "band_key"),
     )
-    left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
-    right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        left.join(right, ["band", "band_key"])
+        buckets.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -244,7 +298,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     Candidate generation: self-join on shared shingles whose document
     frequency <= max_df (rare-shingle blocking — drops boilerplate shingles
     that would otherwise explode the join quadratically)."""
-    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    sh = docs.select(F.col(id_col), word_tokens(text_col).alias("_toks")).select(
+        F.col(id_col), word_shingles_from(F.col("_toks"), shingle_n).alias("sh")
+    )
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     rare = (

@@ -241,3 +241,22 @@ def test_bigram_lm_random_corpus_matches_counts(spark):
         for r in corpus.bigram_lm_score(_docs(spark, list(enumerate(texts)))).collect()
     }
     assert out == expected
+
+
+def test_bigram_lm_plan_single_stream_join(spark):
+    """r7 re-plan pin (r6 verdict #2): the (doc, bigram, cnt) stream joins
+    exactly once, against a pre-built bigram->score_e6 lookup — the
+    outermost join must be the stream-vs-lookup join on `bigram`, with the
+    vocab-sized bi-join-uni (`w1`) folded inside the lookup side."""
+    docs = spark.createDataFrame(
+        [(i, "a b c a b " + ("x " * (i % 4))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    q = corpus.bigram_lm_score(docs)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "score_e6" in plan, plan  # lookup materialized before the join
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(join_lines) == 2, plan
+    # outermost (first printed) join is the stream join on bigram, not w1
+    assert "bigram" in join_lines[0] and "w1" not in join_lines[0], join_lines
+    assert "w1" in join_lines[1], join_lines

@@ -595,3 +595,31 @@ def test_near_dup_clusters_transitive(spark):
     assert rows[1]["cluster_size"] == 3
     assert rows[1]["keep"] and not rows[2]["keep"] and not rows[3]["keep"]
     assert rows[9]["component"] == 9 and rows[9]["cluster_size"] == 1 and rows[9]["keep"]
+
+
+def test_word_shingles_from_matches_inline(spark):
+    """Two-step tokenize->shingle == the inline word_shingles expression,
+    including null text, empty text, and docs shorter than the window."""
+    from pyspark.sql import functions as F
+
+    from kgspark.ops.dedup import word_shingles, word_shingles_from, word_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two"),
+            (3, ""),
+            (4, None),
+            (5, "  leading and   multi   spaces "),
+            (6, "repeat repeat repeat repeat repeat"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3, 5):
+        a = docs.select("doc_id", word_shingles("text", n).alias("sh")).collect()
+        b = (
+            docs.select("doc_id", word_tokens("text").alias("_t"))
+            .select("doc_id", word_shingles_from(F.col("_t"), n).alias("sh"))
+            .collect()
+        )
+        assert sorted(a) == sorted(b), n
