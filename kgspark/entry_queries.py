@@ -146,6 +146,8 @@ def kg_cooccurrence_edges(spark, sf_dir):
         docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
         .where(F.col("term").isin(GAZ))
         .distinct()
+        # two self-join consumers: compute the explode + distinct once (r7)
+        .localCheckpoint(eager=False)
     )
     a = m.select("doc_id", F.col("term").alias("subj"))
     b = m.select("doc_id", F.col("term").alias("obj"))
@@ -420,13 +422,27 @@ def join_anti_customers(spark, sf_dir):
     """,
 )
 def window_top_order_per_customer(spark, sf_dir):
-    """Argmax-per-group window (reference W1/J8 best-candidate)."""
+    """Argmax-per-group window (reference W1/J8 best-candidate).
+
+    r7: expressed as max-of-struct aggregation rather than a row_number
+    window — the (o_totalprice desc, o_orderkey asc) argmax is
+    max(struct(o_totalprice, -o_orderkey)), which runs as a map-side-
+    combined HashAggregate (one struct per customer crosses the wire)
+    instead of shuffling and SORTING every order row. o_orderkey is
+    unique, so the argmax row is the same row the window picked."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+    best = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("o_totalprice").alias("p"),
+                (-F.col("o_orderkey")).alias("nk"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "o_custkey",
+        (-F.col("m.nk")).alias("o_orderkey"),
+        F.col("m.p").alias("o_totalprice"),
     )
 
 
@@ -1545,6 +1561,9 @@ def graph_pagerank(spark, sf_dir):
         docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
         .where(F.col("term").isin(GAZ))
         .distinct()
+        # three consumers (both self-join sides + nodes): cut the lineage
+        # once so the explode + distinct runs once, not three times (r7)
+        .localCheckpoint(eager=False)
     )
     a = m.select("doc_id", F.col("term").alias("src"))
     b = m.select("doc_id", F.col("term").alias("dst"))
@@ -1602,6 +1621,8 @@ def graph_triangles(spark, sf_dir):
         docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
         .where(F.col("term").isin(GAZ))
         .distinct()
+        # two self-join consumers: compute the explode + distinct once (r7)
+        .localCheckpoint(eager=False)
     )
     edges = (
         m.select("doc_id", F.col("term").alias("a"))

@@ -467,19 +467,27 @@ def span_dedup(
     before the wire instead of sorting one hot partition), the join back
     rides the same hashpartitioning (ReusedExchange, winner side is
     distinct-chunk-sized) -> ONE shuffle back on doc_id to reassemble."""
-    toks = F.split(F.col(text_col), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # two-step split -> chunk (r7): inlined, the split() subtree was
+    # re-evaluated for every transform element (see word_shingles_from)
+    tc = F.col("_toks")
+    n_chunks = F.ceil(F.size(tc) / F.lit(chunk_tokens)).cast("int")
     chunked = docs.select(
+        id_col, F.split(F.col(text_col), r"\s+").alias("_toks")
+    ).select(
         id_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
                 lambda i: F.array_join(
-                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                    F.slice(tc, i * chunk_tokens + 1, chunk_tokens), " "
                 ),
             )
         ).alias("chunk_idx", "chunk"),
     ).withColumn("_h", F.md5(F.col("chunk")))
+    # two consumers (winner agg + join back): cut the lineage once so the
+    # chunk build runs once — the join-back then broadcasts/shuffles the
+    # materialized stream instead of re-deriving it (r7)
+    chunked = chunked.localCheckpoint(eager=False)
     winners = chunked.groupBy("_h").agg(
         F.min(F.struct(id_col, "chunk_idx")).alias("_first")
     )

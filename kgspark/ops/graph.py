@@ -45,20 +45,37 @@ def pagerank(
     e12 mode, (node, rank) double otherwise.
 
     Scale shape per iteration: join ranks to edges on src [shuffle on
-    src; the edge table is hash-partitioned once up front and the
-    partitioning is reused every round], sum shares by dst [map-side
-    combined — a billion-in-degree hub reduces before the wire], left
-    join back to nodes. Lineage is cut each round with localCheckpoint,
-    same as connected_components."""
+    src; the edge table is hash-partitioned once up front — by the degree
+    window's exchange — and the partitioning is reused every round], sum
+    shares by dst [map-side combined — a billion-in-degree hub reduces
+    before the wire], left join back to nodes. Lineage is cut each round
+    with a LAZY localCheckpoint (r7): the eager per-round checkpoints ran
+    one synchronous job per iteration; lazy ones materialize inside the
+    consumer's single job while still truncating lineage and computing
+    each round once (ranks has two consumers per round).
+
+    Degree attaches as a COUNT window over src rather than an aggregate +
+    join-back (r7): the old form made Catalyst compute the whole
+    edge-construction subtree twice (once under the join's build side),
+    and the window's exchange doubles as the once-up-front src
+    partitioning the iterations reuse."""
     if mode not in ("e12", "double"):
         raise ValueError(f"unknown mode {mode!r}")
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    from pyspark.sql import Window
+
     e = (
-        edges.join(deg, "src")
-        .select("src", "dst", "deg")
-        .repartition("src")
-        .localCheckpoint()
+        edges.select("src", "dst")
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .localCheckpoint(eager=False)
     )
+    # scale-adaptive iteration partitioning (same rule as the CC loop):
+    # the co-mention graphs this runs on are vocabulary-bounded, so the
+    # 5 iteration rounds otherwise pay full-width shuffle latency on
+    # near-empty partitions; billion-edge graphs still get full width.
+    n_edges = e.count()
+    n_parts = max(1, min(n_edges // 500_000, 1024))
+    spark = edges.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if mode == "e12":
         base = SCALE * (100 - damping_e2) // 100
         init = F.lit(SCALE).cast("long")
@@ -69,22 +86,34 @@ def pagerank(
         init = F.lit(float(SCALE))
         share = F.col("rank") * (damping_e2 / 100.0) / F.col("deg")
         out_col = "rank"
-    ranks = nodes.select("node").distinct().withColumn("rank", init).localCheckpoint()
-    for _ in range(n_iter):
-        inc = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), share.alias("share"))
-            .groupBy("node")
-            .agg(F.sum("share").alias("inc"))
-        )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         ranks = (
-            ranks.select("node")
-            .join(inc, "node", "left")
-            .select(
-                "node", (F.lit(base) + F.coalesce("inc", F.lit(0))).alias("rank")
-            )
-            .localCheckpoint()
+            nodes.select("node")
+            .distinct()
+            .withColumn("rank", init)
+            .localCheckpoint(eager=False)
         )
+        for _ in range(n_iter):
+            inc = (
+                e.join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"), share.alias("share"))
+                .groupBy("node")
+                .agg(F.sum("share").alias("inc"))
+            )
+            ranks = (
+                ranks.select("node")
+                .join(inc, "node", "left")
+                .select(
+                    "node", (F.lit(base) + F.coalesce("inc", F.lit(0))).alias("rank")
+                )
+                .localCheckpoint(eager=False)
+            )
+        # materialize the last round while the loop's partitioning conf is
+        # still in force (the lazy checkpoints execute on first action)
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return ranks.select("node", F.col("rank").alias(out_col))
 
 
@@ -110,6 +139,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        # three consumers (both degree-count sides + the orientation join):
+        # cut the lineage once so the dedup runs once, not three times (r7)
+        .localCheckpoint(eager=False)
     )
     both = und.select(F.col("a").alias("node")).unionByName(
         und.select(F.col("b").alias("node"))

@@ -132,20 +132,25 @@ def tfidf_topk(
     uses (ln() last-ulp differences could flip an e6 floor; see the
     portability notes in MEMORY).
 
-    Scale shape: explode -> (doc,term) count [shuffle 1] -> term df
-    [shuffle 2, vocabulary-sized output, map-side combined] -> join back
-    on term [AQE broadcasts when the vocab is small] -> per-doc top-k
-    window [shuffle 3 on doc]. The corpus size N joins in as a
-    broadcast single row, never a driver-side collect in the plan."""
+    Scale shape (r7): explode -> (doc,term) count [shuffle 1] -> df as a
+    COUNT WINDOW over term on the tf rows [shuffle 2] -> per-doc top-k
+    window [shuffle 3 on doc]. The df-as-window form replaces the old
+    df-aggregate + join-back, which made Catalyst compute the whole
+    explode + (doc,term) aggregate subtree TWICE (once under the join's
+    build side); the window consumes the single tf subtree. The corpus
+    size N joins in as a broadcast single row, never a driver-side
+    collect in the plan."""
     from pyspark.sql import Window
 
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    tf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+    )
     n = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-    scored = tf.join(df, "term").join(F.broadcast(n))
+    scored = tf.join(F.broadcast(n))
     if idf_mode == "ratio_e6":
         scored = scored.withColumn(
             "score_e6",
