@@ -176,24 +176,29 @@ def connected_components(
     head-entity stars (one label feeding millions of neighbors) reduce
     before the shuffle — the skew defusal the north rule asks for; AQE
     skew-join handles the join side."""
+    # setup actions trimmed to ONE (r7): the edge count materializes the
+    # lazily-checkpointed symmetric edge table; the repartitioned copy and
+    # the initial labels stay lazy and materialize inside round 1's job
+    # instead of each paying a synchronous setup action (the serial
+    # per-action floor is what the scaling bench's low/high ratio sees).
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = sym.count()
     n_parts = max(1, min(n_edges // 500_000, 1024))
     spark = nodes.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sym = sym.repartition(n_parts, "dst").localCheckpoint()
+    sym = sym.repartition(n_parts, "dst").localCheckpoint(eager=False)
 
     labels = (
         nodes.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .repartition(n_parts, "node")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     try:
@@ -216,10 +221,25 @@ def connected_components(
             # Neighbor-min alone moves labels one hop per round (O(diameter) —
             # a 50-node chain would silently exhaust max_iter); the label-of-
             # label jump doubles propagation distance per round => O(log n).
+            # Applied TWICE per round (r7): a second label-of-label join
+            # quadruples propagation distance per convergence check, so the
+            # loop needs roughly half the rounds — and each round's count()
+            # action is serial driver floor. Extra doubling at the fixpoint
+            # is a no-op, so the final labels are unchanged.
             parent = stepped.select(
                 F.col("node").alias("component"), F.col("component").alias("grand")
             )
             doubled = stepped.join(parent, "component", "left").select(
+                "node",
+                F.least(F.coalesce("grand", "component"), F.col("component")).alias(
+                    "component"
+                ),
+                "prev_component",
+            )
+            parent2 = doubled.select(
+                F.col("node").alias("component"), F.col("component").alias("grand")
+            )
+            doubled = doubled.join(parent2, "component", "left").select(
                 "node",
                 F.least(F.coalesce("grand", "component"), F.col("component")).alias(
                     "component"

@@ -79,7 +79,12 @@ def link_mentions(mentions: DataFrame, alias_index: DataFrame) -> DataFrame:
     name_sim, ctx_score, score, match_kind, confidence).
     """
     aliases = build_alias_table(alias_index)
-    m = mentions.withColumn("norm_surface", normalize_surface(F.col("surface")))
+    # three consumers (exact join, missed anti-join, fuzzy join-back): cut
+    # the lineage once so the 3-regex normalize over every mention
+    # occurrence runs once, not three times (r7)
+    m = mentions.withColumn(
+        "norm_surface", normalize_surface(F.col("surface"))
+    ).localCheckpoint(eager=False)
 
     # ---- exact: broadcast equi-join on normalized form
     exact = (
@@ -144,14 +149,19 @@ def link_mentions(mentions: DataFrame, alias_index: DataFrame) -> DataFrame:
         F.round(0.5 * F.col("name_sim") + 0.3 * F.col("ctx_score") + 0.2 * F.col("prior"), 6),
     )
 
-    # ---- top-1 per (url, surface); total order for determinism
+    # ---- top-1 per (url, surface); total order for determinism.
+    # prior/ctx_regions are consumed by the score expression above — drop
+    # them BEFORE the window so its exchange does not carry the per-page
+    # region ARRAY for every candidate row (guide §2.3 project-before-
+    # the-exchange; they were previously dropped after the window).
     w = Window.partitionBy("url", "surface").orderBy(
         F.desc("score"), F.desc("name_sim"), F.asc("entity_id")
     )
     best = (
-        cand.withColumn("rn", F.row_number().over(w))
+        cand.drop("prior", "ctx_regions")
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .drop("rn", "prior", "ctx_regions")
+        .drop("rn")
     )
 
     # ---- confidence routing (link_csd_years_spatial_v2.py:252-260 analog)
@@ -174,9 +184,24 @@ def surface_to_entity_map(links: DataFrame) -> DataFrame:
         .groupBy("norm_surface", "entity_id", "canonical_name", "entity_type")
         .count()
     )
-    w = Window.partitionBy("norm_surface").orderBy(F.desc("count"), F.asc("entity_id"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("norm_surface", "entity_id", "canonical_name", "entity_type")
+    # argmax as min-of-struct (r7): (count desc, entity_id asc) is
+    # min(struct(-count, entity_id, ...)); (norm_surface, entity_id) is
+    # unique per counts row so the payload fields never decide the
+    # comparison. One aggregation wave instead of a row_number window's
+    # extra exchange+sort — this map is on the pipeline's serial floor.
+    best = counts.groupBy("norm_surface").agg(
+        F.min(
+            F.struct(
+                (-F.col("count")).alias("neg_n"),
+                F.col("entity_id").alias("entity_id"),
+                F.col("canonical_name").alias("canonical_name"),
+                F.col("entity_type").alias("entity_type"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "norm_surface",
+        F.col("m.entity_id").alias("entity_id"),
+        F.col("m.canonical_name").alias("canonical_name"),
+        F.col("m.entity_type").alias("entity_type"),
     )

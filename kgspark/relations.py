@@ -41,6 +41,15 @@ def resolve_triples(relations: DataFrame, links: DataFrame, resolved_surfaces: D
         F.col("confidence"),
         F.col("norm_surface"),
     )
+    # Resolution is deterministic per (url, surface) — links carries one
+    # row per (url, surface) and the fallback map is keyed on the
+    # normalized surface — so relation rows identical in all four surface
+    # columns resolve identically and the final dropDuplicates collapses
+    # them anyway. Dedup BEFORE the two joins (r7): repeated sentences on
+    # a page stop multiplying the join and shuffle volume.
+    relations = relations.dropDuplicates(
+        ["url", "subj_surface", "pred", "obj_surface"]
+    )
 
     def attach(df: DataFrame, surf_col: str, out_col: str) -> DataFrame:
         side = link_slim.withColumnRenamed("surface", surf_col).withColumnsRenamed(
