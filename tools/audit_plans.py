@@ -53,7 +53,10 @@ CHECKS = {
         (r"BroadcastHashJoin|BroadcastExchange", "nation dim broadcast"),
     ],
     "window_top_order_per_customer": [
-        (r"RunningWindowFunction|Window", "window operator"),
+        # r7: argmax expressed as max-of-struct aggregation (map-side
+        # combined) instead of a row_number window — pin that it STAYS an
+        # aggregate and never regresses to a full sort-window of orders
+        (r"HashAggregate|ObjectHashAggregate|SortAggregate", "argmax aggregate"),
         (r"ReadSchema: [^\n]*struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>",
          "scan reads only 3 columns"),
     ],
