@@ -705,8 +705,14 @@ _TWIN_SQL = """
 
 
 def _with_twins(docs: DataFrame) -> DataFrame:
-    toks = F.split(F.lower("text"), r"\s+")
-    twin = docs.select(
+    # r7: spread the BASE corpus and derive the twin from the spread base
+    # rather than spreading the union — the repartition exchange carries
+    # the corpus once instead of corpus + twin (ReusedExchange serves the
+    # twin branch), and lower() is applied before the twin's tokenizer
+    # (idempotent, so the twin text is unchanged).
+    base = _spread(docs.select("doc_id", F.lower("text").alias("text")))
+    toks = F.split(F.col("text"), r"\s+")
+    twin = base.select(
         (F.col("doc_id") + 10000000).alias("doc_id"),
         F.array_join(
             F.slice(
@@ -715,7 +721,7 @@ def _with_twins(docs: DataFrame) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    return _spread(docs.select("doc_id", F.lower("text").alias("text")).unionByName(twin))
+    return base.unionByName(twin)
 
 
 @q(
