@@ -108,12 +108,14 @@ def bigram_lm_score(
     (score_e6 = c_bi * 1e6 div c_uni is a per-bigram constant); the
     occurrence stream then takes a SINGLE equi-join against that lookup
     and goes straight into groupBy(id), whose partial aggregation
-    combines to one row per doc map-side — so when the lookup broadcasts
-    (AQE), NO stream-sized exchange exists at all, and when a giant
-    vocabulary forces a shuffled join the stream crosses the wire once
-    (vs three times in the r6 plan: join on bigram, join on w1, then
-    groupBy). Plan shape pinned by tests/test_corpus.py: exactly one
-    join touches the stream, and it is the outermost."""
+    combines to one row per doc map-side — so when the planner broadcasts
+    one join side (at bench scale it does; size estimates after a
+    Generate are rough, so which side it picks varies), NO stream-sized
+    exchange exists at all, and when a giant vocabulary forces a shuffled
+    join the stream crosses the wire once (vs three times in the r6 plan:
+    join on bigram, join on w1, then groupBy). Plan shape pinned by
+    tests/test_corpus.py: exactly one join touches the stream, and it is
+    the outermost."""
     toks = word_tokens(text_col)
     t = docs.select(F.col(id_col), toks.alias("_toks"))
     bg = t.select(F.col(id_col), F.explode(_ngrams(F.col("_toks"), 2)).alias("bigram"))
