@@ -47,6 +47,10 @@ _RE_BLOCK = re.compile(
 _RE_TAG = re.compile(rb"<[^>]+>")
 _RE_SPACES = re.compile(r"[ \t\r\f\v]+")
 _RE_NL = re.compile(r"\s*\n\s*")
+# space-only collapse for \t\r\f\v-free texts: "  +" has a two-space literal
+# prefix sre can skip with, and on such texts it is EXACTLY _RE_SPACES.sub
+# (runs >= 2 spaces -> " "; a lone space maps to itself under both)
+_RE_SPACES2 = re.compile("  +")
 
 # _RE_SPACES / _RE_NL substitution replaced by exact-equivalent C-speed
 # string ops (r7: the two subs were 64% of extraction time — the spaces sub
@@ -75,13 +79,20 @@ def extract_text_bytes(html: bytes | None) -> str | None:
     raw = _RE_BLOCK.sub(b"\n", raw)
     raw = _RE_TAG.sub(b" ", raw)
     text = raw.decode("utf-8", errors="replace")
-    text = _htmlmod.unescape(text)
+    # spec: _htmlmod.unescape(text). Every entity starts at an '&', so
+    # unescaping only the tail from the first '&' is identical — and skips
+    # the library's full-text regex pass when '&' sits near the end (r7).
+    amp = text.find("&")
+    if amp >= 0:
+        text = text[:amp] + _htmlmod.unescape(text[amp:])
     # spec: _RE_SPACES.sub(" ", text)
     if "\t" in text or "\r" in text or "\f" in text or "\v" in text:
         text = _RE_SPACES.sub(" ", text)
     else:
-        while "  " in text:
-            text = text.replace("  ", " ")
+        # exact-equivalent on \t\r\f\v-free text; the two-space literal
+        # prefix lets sre skip at C speed instead of whole-string
+        # replace() passes (r7; byte-equality pinned in tests)
+        text = _RE_SPACES2.sub(" ", text)
     # spec: _RE_NL.sub("\n", text)
     if "\n" in text:
         parts = text.split("\n")

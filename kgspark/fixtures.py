@@ -149,13 +149,21 @@ def _pick_surface(rng: random.Random, row, corrupt_p: float = 0.05) -> str:
     return surface
 
 
-def page_record(i: int, seed: int = SEED, bulk_words: int = 0) -> dict:
+def page_record(
+    i: int, seed: int = SEED, bulk_words: int = 0, with_text: bool = True
+) -> dict:
     """Pure function (seed, i) -> one synthetic page + its golden facts.
 
     ``bulk_words`` appends deterministic lowercase filler paragraphs
     (Common-Crawl html pages are tens of KB; the sentence skeleton alone is
     an unrealistically light ~2KB). The filler cannot match any mention,
-    span, or relation pattern, so golden facts are unchanged at any size."""
+    span, or relation pattern, so golden facts are unchanged at any size.
+
+    ``with_text=False`` skips the pre-extracted ``text`` column (a pure
+    function of ``html`` with no rng draws, so every other field is
+    byte-identical either way): consumers that re-extract from html — the
+    fused-annotate pipeline the bench measures — should not pay for an
+    extraction they immediately discard (r7)."""
     rng = random.Random(f"{seed}:{i}")
     sentences: list[str] = []
     triples: list[tuple[str, str, str]] = []
@@ -211,15 +219,20 @@ def page_record(i: int, seed: int = SEED, bulk_words: int = 0) -> dict:
     ts = dt.datetime(1998, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
         seconds=(i * 937) % (86400 * 365 * 20)
     )
-    return {
+    # lang draw happens BEFORE the (draw-free) text extraction so the rng
+    # stream is identical with and without text
+    lang = "en" if rng.random() < 0.9 else "fr"
+    rec = {
         "url": f"https://example.org/ca-history/{seed}/{i:08d}",
         "warc_ts": ts,
         "html": html_bytes,
-        "text": extract_text_bytes(html_bytes),
-        "lang": "en" if rng.random() < 0.9 else "fr",
+        "lang": lang,
         "_mentions": mentions,
         "_triples": triples,
     }
+    if with_text:
+        rec["text"] = extract_text_bytes(html_bytes)
+    return rec
 
 
 def _n_parts(spark, n: int) -> int:
@@ -232,32 +245,42 @@ def _n_parts(spark, n: int) -> int:
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+PAGES_SCHEMA_NO_TEXT = "url string, warc_ts timestamp, html binary, lang string"
 GOLDEN_SCHEMA = "subj string, pred string, obj string, src_url string"
 GOLDEN_MENTION_SCHEMA = "url string, surface string, entity_id string"
 
 
 def gen_pages(
-    spark: SparkSession, n: int, seed: int = SEED, bulk_words: int = 0
+    spark: SparkSession,
+    n: int,
+    seed: int = SEED,
+    bulk_words: int = 0,
+    with_text: bool = True,
 ) -> DataFrame:
     """Distributed deterministic corpus: spark.range -> mapInPandas.
 
     No driver-side accumulation (the reference's CensusDataV2 anti-pattern,
     /root/reference/scripts/build_census_observations_v2.py:76-98, is what
-    this replaces)."""
+    this replaces). ``with_text=False`` omits the pre-extracted ``text``
+    column (url/warc_ts/html/lang byte-identical; see page_record): the
+    fused-annotate pipeline re-extracts from html, so generating text for
+    it is pure waste inside the timed job (r7)."""
+
+    cols = ("url", "warc_ts", "html", "text", "lang") if with_text else (
+        "url", "warc_ts", "html", "lang"
+    )
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            recs = [page_record(int(i), seed, bulk_words) for i in b["id"]]
-            # column-wise construction: pandas assembles 5 typed arrays
+            recs = [page_record(int(i), seed, bulk_words, with_text) for i in b["id"]]
+            # column-wise construction: pandas assembles typed arrays
             # instead of re-keying one dict per row
-            yield pd.DataFrame(
-                {k: [r[k] for r in recs] for k in ("url", "warc_ts", "html", "text", "lang")}
-            )
+            yield pd.DataFrame({k: [r[k] for r in recs] for k in cols})
 
     return (
         spark.range(n)
         .repartition(_n_parts(spark, n))
-        .mapInPandas(make, PAGES_SCHEMA)
+        .mapInPandas(make, PAGES_SCHEMA if with_text else PAGES_SCHEMA_NO_TEXT)
     )
 
 

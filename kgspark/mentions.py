@@ -107,6 +107,21 @@ AC_THRESHOLD = 2048
 #    string boundary the sliced scan sees.
 _ACTIVE_PROBE = re.compile(r"[A-Z]|\d")
 
+import numpy as _np
+
+# per-ordinal probe cache for non-ASCII chars in the vectorized
+# _active_runs: exact _ACTIVE_PROBE semantics (\d == unicode Nd), one
+# regex call per DISTINCT high char ever seen, then pure dict hits
+_HI_PROBE_CACHE: dict[int, bool] = {}
+
+
+def _probe_char(cv: int) -> bool:
+    hit = _HI_PROBE_CACHE.get(cv)
+    if hit is None:
+        hit = _ACTIVE_PROBE.match(chr(cv)) is not None
+        _HI_PROBE_CACHE[cv] = hit
+    return hit
+
 
 def _has_of_line(text: str) -> bool:
     return (
@@ -117,9 +132,11 @@ def _has_of_line(text: str) -> bool:
     )
 
 
-def _active_runs(text: str) -> list[tuple[int, int]]:
+def _active_runs_re(text: str) -> list[tuple[int, int]]:
     """(start, end) of maximal runs of consecutive lines containing at
-    least one [A-Z]|\\d character; one charset pass over the text."""
+    least one [A-Z]|\\d character; one charset pass over the text.
+    Reference form — also the fallback for non-ASCII texts, where byte
+    offsets diverge from str offsets and \\d can match unicode digits."""
     runs: list[list[int]] = []
     n = len(text)
     search = _ACTIVE_PROBE.search
@@ -139,6 +156,50 @@ def _active_runs(text: str) -> list[tuple[int, int]]:
             runs.append([s, e])
         pos = e + 1
     return [(s, e) for s, e in runs]
+
+
+def _active_runs(text: str) -> list[tuple[int, int]]:
+    """Same contract as _active_runs_re, vectorized (r7: the sre charset
+    scan ran at ~70 MB/s and was 70% of scan_text; two numpy comparisons
+    over a utf-32 view find every active char at memory speed). The
+    utf-32-le view gives one uint32 PER CHARACTER, so indices are str
+    indices for any input; non-ASCII ordinals get the exact _ACTIVE_PROBE
+    verdict via a per-distinct-char cached probe (so \\d's unicode-digit
+    semantics are preserved bit-for-bit). Texts with very many distinct
+    high chars fall back to the reference loop. Equivalence pinned by
+    tests/test_mentions_link.py."""
+    try:
+        buf = text.encode("utf-32-le")
+    except UnicodeEncodeError:  # lone surrogates: take the reference path
+        return _active_runs_re(text)
+    arr = _np.frombuffer(buf, _np.uint32)
+    # unsigned wraparound: values below 'A'/'0' wrap to huge, compare False
+    mask = ((arr - 65) < 26) | ((arr - 48) < 10)
+    hi = arr >= 128
+    if hi.any():
+        hi_vals = _np.unique(arr[hi])
+        if hi_vals.size > 64:
+            return _active_runs_re(text)
+        for cv in hi_vals:
+            if _probe_char(int(cv)):
+                mask |= arr == cv
+    active = _np.flatnonzero(mask)
+    if active.size == 0:
+        return []
+    nl = _np.flatnonzero(arr == 0x0A)
+    if nl.size == 0:
+        return [(0, arr.size)]
+    # line index of each active char = #newlines before it; consecutive
+    # active lines merge into one run exactly like the incremental loop
+    lines = _np.unique(nl.searchsorted(active))
+    brk = _np.flatnonzero(_np.diff(lines) > 1)
+    rs_lines = lines[_np.r_[0, brk + 1]]
+    re_lines = lines[_np.r_[brk, lines.size - 1]]
+    starts = _np.where(rs_lines > 0, nl[rs_lines - 1] + 1, 0)
+    ends = _np.where(
+        re_lines < nl.size, nl[_np.minimum(re_lines, nl.size - 1)], arr.size
+    )
+    return list(zip(starts.tolist(), ends.tolist()))
 
 
 def _build_scanner(gazetteer: list[str], regions: list[str], use_ac: bool | None = None):

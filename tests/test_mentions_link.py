@@ -240,3 +240,34 @@ def test_annotate_from_html_fused_equals_two_stage(spark):
     a = sorted(two_stage.collect(), key=lambda r: r["url"])
     b = sorted(fused.collect(), key=lambda r: r["url"])
     assert a == b
+
+
+def test_active_runs_numpy_matches_reference_impl():
+    """r7 vectorized _active_runs == the incremental regex form on ASCII
+    texts, and non-ASCII texts (where \\d can match unicode digits and byte
+    offsets diverge) take the reference path verbatim."""
+    import random
+
+    from kgspark import fixtures
+    from kgspark.mentions import _active_runs, _active_runs_re
+
+    cases = [
+        "", "abc", "Abc", "A", "5", "abc\ndef", "Abc\ndef\nGhi",
+        "a\nB\nc\nD", "A\nB\nC", "x\n\nY\n\n", "\n\nZ", "Z\n", "\nZ\n",
+        "9 lives\nnone here\nnine 9", "of\nA", "trailing active Z",
+        "a" * 100 + "\nB" + "c" * 50,
+        # non-ASCII: unicode digit is active for \d; é is not
+        "foo\n٣ bar\nbaz", "é\nΩ\n3", "Ωmega\nlower",
+    ]
+    rng = random.Random(3)
+    for _ in range(3000):
+        lines = [
+            "".join(rng.choice("abc XYZ019é٣") for _ in range(rng.randint(0, 8)))
+            for _ in range(rng.randint(0, 10))
+        ]
+        cases.append("\n".join(lines))
+    for i in range(20):
+        cases.append(fixtures.page_record(i, bulk_words=200)["text"])
+
+    for t in cases:
+        assert _active_runs(t) == _active_runs_re(t), repr(t[:80])

@@ -76,3 +76,23 @@ def test_bulk_paragraphs_draw_identical_to_choice_loop():
             assert _bulk_paragraphs(random.Random(seed), n) == reference(
                 random.Random(seed), n
             ), (n, seed)
+
+
+def test_gen_pages_with_text_false_identical_pages(spark):
+    """r7 with_text=False must change nothing but drop the text column:
+    url/warc_ts/html/lang byte-identical (the text extraction consumes no
+    rng draws), and page_record golden facts unchanged."""
+    from kgspark import fixtures
+
+    a = fixtures.gen_pages(spark, 60, bulk_words=150).drop("text")
+    b = fixtures.gen_pages(spark, 60, bulk_words=150, with_text=False)
+    assert b.columns == ["url", "warc_ts", "html", "lang"]
+    ra = sorted(a.collect(), key=lambda r: r["url"])
+    rb = sorted(b.collect(), key=lambda r: r["url"])
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
+    for i in (0, 3, 17):
+        full = fixtures.page_record(i, bulk_words=150)
+        slim = fixtures.page_record(i, bulk_words=150, with_text=False)
+        assert "text" not in slim
+        for k in ("url", "warc_ts", "html", "lang", "_mentions", "_triples"):
+            assert full[k] == slim[k], k

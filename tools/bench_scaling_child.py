@@ -172,7 +172,7 @@ def main() -> None:
     wst0, wmst0, wt0 = steal_now(), read_steal_ticks(), time.time()
     warm = run_pipeline(
         spark,
-        fixtures.gen_pages(spark, max(n_pages // 50, 500), bulk_words=bulk_words),
+        fixtures.gen_pages(spark, max(n_pages // 50, 500), bulk_words=bulk_words, with_text=False),
         fixtures.gen_alias_index(spark),
     )
     warm["triples"].count()
@@ -203,7 +203,7 @@ def main() -> None:
         t0 = time.time()
         out = run_pipeline(
             spark,
-            fixtures.gen_pages(spark, n_pages, bulk_words=bulk_words),
+            fixtures.gen_pages(spark, n_pages, bulk_words=bulk_words, with_text=False),
             fixtures.gen_alias_index(spark),
         )
         splits = {}
@@ -283,7 +283,7 @@ def main() -> None:
     threading.Thread(target=watchdog, args=(st0, t0), daemon=True).start()
     out = run_pipeline(
         spark,
-        fixtures.gen_pages(spark, n_pages, bulk_words=bulk_words),
+        fixtures.gen_pages(spark, n_pages, bulk_words=bulk_words, with_text=False),
         fixtures.gen_alias_index(spark),
     )
     n_triples = out["triples"].count()
