@@ -150,18 +150,36 @@ def link_mentions(mentions: DataFrame, alias_index: DataFrame) -> DataFrame:
     )
 
     # ---- top-1 per (url, surface); total order for determinism.
-    # prior/ctx_regions are consumed by the score expression above — drop
-    # them BEFORE the window so its exchange does not carry the per-page
-    # region ARRAY for every candidate row (guide §2.3 project-before-
-    # the-exchange; they were previously dropped after the window).
-    w = Window.partitionBy("url", "surface").orderBy(
-        F.desc("score"), F.desc("name_sim"), F.asc("entity_id")
-    )
+    # argmax as min-of-struct (r7, same move as surface_to_entity_map): the
+    # row_number window needed a full sort of every candidate row on both
+    # sides of its exchange; min(struct) runs as a partially-aggregating
+    # ObjectHashAggregate that combines map-side before the shuffle. The
+    # ordering (score desc, name_sim desc, entity_id asc) is encoded as
+    # min(struct(1-score, 1-name_sim, entity_id, ...)): both doubles are
+    # rounded to 6 dp in [0,1], so 1-x is an exact order reversal (1e-6
+    # spacing >> ulp(1.0)) with no -0.0 hazard. Rows tied on all three
+    # keys are identical in every carried column (same entity -> same
+    # canonical_name/type/region; match_kind is constant per surface;
+    # ctx/score derive from those), so any-of-ties == row_number's
+    # first-of-ties. Pinned by tools/audit_plans.py + the link oracles.
+    payload = [
+        "norm_surface", "entity_id", "canonical_name", "entity_type",
+        "admin_region", "name_sim", "match_kind", "ctx_score", "score",
+    ]
     best = (
         cand.drop("prior", "ctx_regions")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("url", "surface")
+        .agg(
+            F.min(
+                F.struct(
+                    (1.0 - F.col("score")).alias("_inv_score"),
+                    (1.0 - F.col("name_sim")).alias("_inv_name_sim"),
+                    F.col("entity_id").alias("_tie_id"),
+                    *[F.col(c).alias(c) for c in payload],
+                )
+            ).alias("_m")
+        )
+        .select("url", "surface", *[F.col(f"_m.{c}").alias(c) for c in payload])
     )
 
     # ---- confidence routing (link_csd_years_spatial_v2.py:252-260 analog)

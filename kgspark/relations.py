@@ -47,7 +47,14 @@ def resolve_triples(relations: DataFrame, links: DataFrame, resolved_surfaces: D
     # columns resolve identically and the final dropDuplicates collapses
     # them anyway. Dedup BEFORE the two joins (r7): repeated sentences on
     # a page stop multiplying the join and shuffle volume.
-    relations = relations.dropDuplicates(
+    # ONE url-hash exchange serves the whole tail (r7): every downstream
+    # clustering requirement — this dedup (url,s,p,o), both attach joins
+    # (url, surface), and the final output dedup (subj,pred,obj,src_url
+    # where src_url==url) — contains url, so hashpartitioning(url)
+    # satisfies each of them and no further exchange of the relation
+    # stream is needed. Rows sharing a url are a page's handful, so the
+    # url hash spreads as evenly as the page distribution itself.
+    relations = relations.repartition("url").dropDuplicates(
         ["url", "subj_surface", "pred", "obj_surface"]
     )
 

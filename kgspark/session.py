@@ -64,6 +64,15 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # allow a join child partitioned on a SUBSET of the join keys to
+        # keep its partitioning (guide §2.4 "two operations keyed the same
+        # way can share one exchange"): resolve_triples partitions the
+        # relation stream ONCE by url and both attach joins + the output
+        # dedup then ride it (3 exchanges of the stream removed — see
+        # relations.py). Plan-shape only, never results; the subset keys
+        # in this engine (url, norm_surface) are all high-cardinality, so
+        # no coarse-partitioning skew arises.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
