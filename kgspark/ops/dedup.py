@@ -461,54 +461,73 @@ def span_dedup(
 
     Returns (id_col, n_chunks, n_kept, text_deduped).
 
-    Scale shape: explode -> shuffle on the chunk md5; the winner per
-    chunk is a groupBy min-struct (NOT a window: the partial aggregate
-    combines map-side, so a billion-copy boilerplate chunk reduces
-    before the wire instead of sorting one hot partition), the join back
-    rides the same hashpartitioning (ReusedExchange, winner side is
-    distinct-chunk-sized) -> ONE shuffle back on doc_id to reassemble."""
+    Scale shape (r7, guide §8 "decide with small rows, move big rows
+    once" — here ZERO times): the exploded stream that shuffles carries
+    only (id, chunk_idx, md5) — never the chunk text. The winner per
+    chunk hash is a groupBy min-struct (partial aggregate combines
+    map-side, so a billion-copy boilerplate chunk reduces before the
+    wire); the join back rides the same hashpartitioning (ReusedExchange)
+    and yields just the DROPPED (id, chunk_idx) positions — a set bounded
+    by the duplicate occurrences, tiny on real corpora. Reassembly then
+    happens MAP-SIDE on the un-shuffled base table: re-derive the chunks
+    (pure function of text) and filter out the dropped positions, so the
+    corpus text itself crosses the wire exactly zero times (the old form
+    shuffled the full text twice: once into the hash join, once back on
+    doc_id). The drop-set join broadcasts when small; a pathological
+    all-duplicates corpus degrades to ONE text-free shuffle of positions.
+    """
     # two-step split -> chunk (r7): inlined, the split() subtree was
     # re-evaluated for every transform element (see word_shingles_from)
     tc = F.col("_toks")
     n_chunks = F.ceil(F.size(tc) / F.lit(chunk_tokens)).cast("int")
-    chunked = docs.select(
+    base = docs.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(tc, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    chunked = base.select(
         id_col, F.split(F.col(text_col), r"\s+").alias("_toks")
     ).select(
         id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice(tc, i * chunk_tokens + 1, chunk_tokens), " "
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
-    ).withColumn("_h", F.md5(F.col("chunk")))
-    # two consumers (winner agg + join back): cut the lineage once so the
-    # chunk build runs once — the join-back then broadcasts/shuffles the
-    # materialized stream instead of re-deriving it (r7)
-    chunked = chunked.localCheckpoint(eager=False)
+        F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
+    ).select(id_col, "chunk_idx", F.md5(F.col("chunk")).alias("_h"))
+    # two consumers (winner agg + join back) share one Exchange(_h):
+    # ReusedExchange computes the chunk build once. No localCheckpoint
+    # here — cutting the lineage would also cut the REBUILD branch off the
+    # shared corpus subtree and re-derive the (round-robin-spread) corpus
+    # a second time; with the plan intact, every branch reuses both the
+    # corpus exchange and the _h exchange (verified in the committed plan).
     winners = chunked.groupBy("_h").agg(
         F.min(F.struct(id_col, "chunk_idx")).alias("_first")
     )
-    marked = chunked.join(winners, "_h").withColumn(
-        "_keep",
-        (F.col(f"_first.{id_col}") == F.col(id_col))
-        & (F.col("_first.chunk_idx") == F.col("chunk_idx")),
+    dropped = (
+        chunked.join(winners, "_h")
+        .where(
+            (F.col(f"_first.{id_col}") != F.col(id_col))
+            | (F.col("_first.chunk_idx") != F.col("chunk_idx"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("chunk_idx").alias("_dropped"))
     )
+    # map-side rebuild: same chunk derivation as above (byte-identical by
+    # construction), minus the dropped positions, in original order —
+    # filter's index lambda sees exactly the chunk_idx posexplode emitted
+    drop_set = F.coalesce(F.col("_dropped"), F.expr("array()").cast("array<int>"))
     return (
-        marked.groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        base.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.split(F.col(text_col), r"\s+").alias("_toks"),
+            drop_set.alias("_drop"),
+        )
+        .select(
+            id_col,
+            n_chunks.cast("long").alias("n_chunks"),
+            (n_chunks.cast("long") - F.size("_drop")).alias("n_kept"),
             F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("_keep"), F.struct("chunk_idx", "chunk"))
-                        )
-                    ),
-                    lambda s: s["chunk"],
+                F.filter(
+                    chunk_arr,
+                    lambda _c, i: ~F.array_contains(F.col("_drop"), i),
                 ),
                 " ",
             ).alias("text_deduped"),
