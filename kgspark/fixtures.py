@@ -102,30 +102,56 @@ _BULK_WORDS = (
 ).split()
 
 
+# pre-joined word pairs (54^2 = 2916 entries, ~38 KB — L2-resident where a
+# triple table thrashes): halves the per-word Python list/join traffic in
+# the bulk hot loop. 90 is even, so pairs never straddle a paragraph.
+_BULK_PAIRS = [a + " " + b for a in _BULK_WORDS for b in _BULK_WORDS]
+
+import numpy as _np
+
+
 def _bulk_paragraphs(rng: random.Random, n_words: int) -> list[str]:
     """Deterministic lowercase filler, ~90 words per paragraph.
 
-    Draw-identical fast form of ``rng.choice(_BULK_WORDS)`` per word:
-    ``Random.choice(seq)`` is exactly ``seq[self._randbelow(len(seq))]``,
-    so indexing via a bound ``_randbelow`` consumes the same underlying
-    random stream and yields byte-identical paragraphs (pinned by test)
-    while skipping a layer of method dispatch in this per-page hot loop."""
-    # _randbelow == _randbelow_with_getrandbits for Random: draw k bits,
-    # reject >= n (CPython random.py); inlined to skip per-word dispatch
-    grb = rng.getrandbits
+    Draw-identical fast form of ``rng.choice(_BULK_WORDS)`` per word
+    (pinned by tests/test_pipeline_golden.py). Two exact identities make
+    the vectorization safe:
+    - ``choice(seq)`` is ``seq[_randbelow(len)]`` and ``_randbelow(54)``
+      draws ``getrandbits(6)`` (one genrand word each, top 6 bits),
+      rejecting values >= 54 — so the accepted-value sequence is just a
+      filter over the raw 32-bit word stream;
+    - ``getrandbits(32*k)`` consumes the SAME genrand words in order,
+      little-endian-first, so one mega-draw + numpy shift/filter yields
+      the identical accepted sequence at C speed. Over-drawn words are
+      never observed (this rng is a per-page throwaway stream)."""
+    if n_words <= 0:
+        return []
     bw = _BULK_WORDS
     n = len(bw)
-    k = n.bit_length()
-    flat = []
-    append = flat.append
-    for _ in range(n_words):
-        r = grb(k)
-        while r >= n:
-            r = grb(k)
-        append(bw[r])
-    return [
-        " ".join(flat[i : i + 90]) + "." for i in range(0, n_words, 90)
-    ]
+    chunks: list = []
+    got = 0
+    draw = int(n_words * 64 / 54) + 16
+    while got < n_words:
+        raw = rng.getrandbits(32 * draw).to_bytes(4 * draw, "little")
+        r = _np.frombuffer(raw, _np.uint32) >> 26
+        acc = r[r < n]
+        chunks.append(acc)
+        got += acc.size
+        draw = max(32, int((n_words - got) * 1.4) + 16)
+    idx = _np.concatenate(chunks)[:n_words] if len(chunks) > 1 else chunks[0][:n_words]
+    half = n_words // 2
+    pid = (idx[0::2][:half] * n + idx[1::2][:half]).tolist()
+    pairs = _BULK_PAIRS
+    pw = [pairs[j] for j in pid]
+    m = n_words // 90
+    paras = [" ".join(pw[p * 45 : (p + 1) * 45]) + "." for p in range(m)]
+    rem = n_words - m * 90
+    if rem:
+        rp = pw[m * 45 : m * 45 + rem // 2]
+        if rem % 2:
+            rp = rp + [bw[int(idx[n_words - 1])]]
+        paras.append(" ".join(rp) + ".")
+    return paras
 
 # Relation sentence templates. The relation extractor (relations.py) owns the
 # matching patterns; these templates are the generative side of that contract.
