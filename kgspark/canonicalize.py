@@ -290,13 +290,23 @@ def consensus_canonical(
     occ = surface_occurrences.join(
         components.withColumnRenamed("node", "norm_surface"), "norm_surface"
     )
-    w = Window.partitionBy("component").orderBy(
-        F.desc("n_occurrences"), F.asc("norm_surface")
-    )
+    # argmax as min-of-struct (r7, same move as link top-1): the ordering
+    # (n_occurrences desc, norm_surface asc) is min(struct(-n, surface));
+    # (component, norm_surface) is unique per occ row, so the total order
+    # has no ties and any-of-ties == row_number's first row. Partial
+    # aggregation combines map-side instead of sorting every occurrence
+    # row on both sides of the window exchange.
     consensus = (
-        occ.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("component", F.col("norm_surface").alias("canonical_surface"))
+        occ.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_occurrences")).alias("_neg_n"),
+                    F.col("norm_surface").alias("canonical_surface"),
+                )
+            ).alias("_m")
+        )
+        .select("component", F.col("_m.canonical_surface").alias("canonical_surface"))
     )
     sim = (
         occ.join(consensus, "component")
