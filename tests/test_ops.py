@@ -623,3 +623,28 @@ def test_word_shingles_from_matches_inline(spark):
             .collect()
         )
         assert sorted(a) == sorted(b), n
+
+
+def test_ngrams_zip_form_matches_transform_spec(spark):
+    """r7 chained-zip_with _ngrams == the transform+slice+array_join spec,
+    including short docs, empty arrays, and n=2,3,5."""
+    from kgspark.ops.webtext import _ngrams
+
+    def spec(toks, n):
+        def join_at(i):
+            return F.array_join(F.slice(toks, i + 1, n), " ")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), join_at),
+        ).otherwise(F.array().cast("array<string>"))
+
+    rows = [
+        (1, []), (2, ["a"]), (3, ["a", "b"]), (4, ["a", "b", "c"]),
+        (5, ["x", "y", "z", "w", "v"]), (6, ["t"] * 12),
+        (7, "some longer token stream with repeated token stream".split()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    for n in (2, 3, 5):
+        got = df.select("doc_id", _ngrams(F.col("toks"), n).alias("g")).orderBy("doc_id").collect()
+        want = df.select("doc_id", spec(F.col("toks"), n).alias("g")).orderBy("doc_id").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], n
