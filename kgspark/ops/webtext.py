@@ -40,27 +40,38 @@ def _e6(num, den):
 
 
 def _ngrams(toks, n: int):
-    """Array of space-joined n-grams; empty when the doc is shorter than n.
+    """Array of space-joined n-grams; empty when the doc is shorter than n
+    (sequence(0, size-n) would silently generate a DESCENDING index array
+    for short docs — a Spark footgun — hence the explicit guard).
 
-    r7 form: chained zip_with + element-wise concat instead of a
-    transform whose lambda sliced and re-joined the token array PER
-    ELEMENT (one array allocation per n-gram; measured 2.5 -> 1.7 s on
-    the exploded bigram stream of the 10x bench corpus). zip_with pads
-    the shorter side with nulls, concat propagates them, and tokens are
-    never null (split output), so exactly the trailing (n-1) positions
-    are null — array_compact removes precisely those, which also yields
-    the empty array for docs shorter than n (the case the old form
-    guarded explicitly: sequence(0, size-n) would generate a DESCENDING
-    index array there). Output equality with the transform form pinned
-    by tests/test_ops.py."""
-    out = toks
-    for j in range(1, n):
-        out = F.zip_with(
-            out,
-            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+    n == 2 takes a zip_with + element-wise concat form (r7): the transform
+    lambda sliced and re-joined the token array PER ELEMENT (one array
+    allocation per n-gram); zip_with allocates per row. zip_with pads the
+    shorter side with nulls, concat propagates them, and tokens are never
+    null (split output), so exactly the trailing position is null —
+    array_compact removes precisely it, which also yields the empty array
+    for 1-token docs. Exploded bigram stream 2.5 -> 1.7 s on the 10x
+    bench corpus; equality with the transform spec pinned by
+    tests/test_ops.py. For n >= 3 a chained zip would concatenate
+    incrementally (O(n^2) intermediate string bytes per n-gram — measured
+    ~30% SLOWER on 5-gram shingles), so those stay on the transform
+    form."""
+    if n == 2:
+        return F.array_compact(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
         )
-    return F.array_compact(out) if n > 1 else out
+
+    def join_at(i):
+        return F.array_join(F.slice(toks, i + 1, n), " ")
+
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), join_at),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _max_run(sorted_arr):
